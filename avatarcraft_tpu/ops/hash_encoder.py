@@ -1,0 +1,186 @@
+"""Multiresolution hash-grid encoder (instant-NGP) as a pure-XLA program.
+
+TPU-native re-design of the reference CUDA extension
+(reference: encoder/hashencoder/src/hashencoder.cu:36-219 for the forward
+semantics, encoder/hashencoder/hashgrid.py:80-143 for the module wrapper):
+
+* one flat embedding table ``[total_params, level_dim]`` with per-level offsets
+  (dense indexing for coarse levels, XOR-prime hashing for fine levels),
+* per-(point, level) trilinear interpolation over the 2^D corner features,
+* out-of-bound inputs produce zero features,
+* backward = scatter-add into the table. On TPU this is the autodiff transpose
+  of the corner gather, which XLA lowers to a deterministic scatter-add
+  (no atomics needed, unlike the CUDA ``atomicAdd`` path in
+  encoder/hashencoder/src/hashencoder.cu:298-305).
+
+All level constants (scales, resolutions, offsets, hash-vs-dense flags) are
+computed at trace time from a hashable :class:`HashGridSpec`, so the whole
+encoder is a single static-shape XLA computation: elementwise index math on
+``[L, N, 3]`` blocks plus one big gather, which fuses with the downstream MLP.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# XOR-hash primes (reference: encoder/hashencoder/src/hashencoder.cu:43)
+_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridSpec:
+    """Static configuration of the multiresolution hash grid.
+
+    Defaults follow the reference instant-NSR config
+    (reference: models/instant_nsr.py:505-515): 16 levels x 2 dims, base
+    resolution 16, 2^19-entry tables, finest resolution 2048.
+    """
+
+    input_dim: int = 3
+    num_levels: int = 16
+    level_dim: int = 2
+    base_resolution: int = 16
+    log2_hashmap_size: int = 19
+    desired_resolution: int | None = 2048
+    per_level_scale: float = 2.0
+
+    def __post_init__(self):
+        if self.desired_resolution is not None:
+            # desired_resolution overrides per_level_scale
+            # (reference: encoder/hashencoder/hashgrid.py:84-85)
+            scale = float(
+                np.exp2(
+                    np.log2(self.desired_resolution / self.base_resolution)
+                    / (self.num_levels - 1)
+                )
+            )
+            object.__setattr__(self, "per_level_scale", scale)
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.level_dim
+
+    @cached_property
+    def level_constants(self):
+        """Per-level (scale, resolution, offset, hashmap_size, use_hash).
+
+        Table layout mirrors encoder/hashencoder/hashgrid.py:99-112; index math
+        mirrors encoder/hashencoder/src/hashencoder.cu:121-123 (scale/resolution)
+        and :54-70 (dense-or-hash index).
+        """
+        max_params = 2**self.log2_hashmap_size
+        scales, resolutions, offsets, sizes, use_hash = [], [], [0], [], []
+        s_log2 = math.log2(self.per_level_scale)
+        for lvl in range(self.num_levels):
+            scale = math.exp2(lvl * s_log2) * self.base_resolution - 1.0
+            resolution = int(math.ceil(scale)) + 1
+            params_in_level = min(max_params, (resolution + 1) ** self.input_dim)
+            scales.append(scale)
+            resolutions.append(resolution)
+            sizes.append(params_in_level)
+            use_hash.append((resolution + 1) ** self.input_dim > params_in_level)
+            offsets.append(offsets[-1] + params_in_level)
+        return (
+            tuple(scales),
+            tuple(resolutions),
+            tuple(offsets),
+            tuple(sizes),
+            tuple(use_hash),
+        )
+
+    @property
+    def total_params(self) -> int:
+        return self.level_constants[2][-1]
+
+
+def init_hash_table(key: jax.Array, spec: HashGridSpec, dtype=jnp.float32) -> jax.Array:
+    """U(-1e-4, 1e-4) init (reference: encoder/hashencoder/hashgrid.py:119-121)."""
+    return jax.random.uniform(
+        key, (spec.total_params, spec.level_dim), dtype=dtype, minval=-1e-4, maxval=1e-4
+    )
+
+
+def _corner_indices(spec: HashGridSpec, pos_grid: jax.Array) -> jax.Array:
+    """Flat table indices for integer grid coords ``pos_grid`` of one corner.
+
+    pos_grid: [L, N, 3] uint32 grid coordinates per level.
+    Returns [L, N] int32 indices into the flat table (offset included).
+    """
+    scales, resolutions, offsets, sizes, use_hash = spec.level_constants
+    L = spec.num_levels
+
+    res1 = jnp.asarray([r + 1 for r in resolutions], jnp.uint32)[:, None]
+    size = jnp.asarray(sizes, jnp.uint32)[:, None]
+    off = jnp.asarray(offsets[:-1], jnp.uint32)[:, None]
+    hash_mask = jnp.asarray(use_hash, jnp.bool_)[:, None]
+
+    # Dense index: x + y*(res+1) + z*(res+1)^2 (hashencoder.cu:54-64)
+    dense = (
+        pos_grid[..., 0]
+        + pos_grid[..., 1] * res1
+        + pos_grid[..., 2] * res1 * res1
+    )
+    # XOR-prime hash (hashencoder.cu:36-51); uint32 arithmetic wraps mod 2^32.
+    hashed = (
+        pos_grid[..., 0] * jnp.uint32(_PRIMES[0])
+        ^ pos_grid[..., 1] * jnp.uint32(_PRIMES[1])
+        ^ pos_grid[..., 2] * jnp.uint32(_PRIMES[2])
+    )
+    idx = jnp.where(hash_mask, hashed, dense) % size + off
+    return idx.astype(jnp.int32)
+
+
+def hash_encode(table: jax.Array, x: jax.Array, spec: HashGridSpec, *, size: float = 1.0) -> jax.Array:
+    """Encode positions through the multiresolution hash grid.
+
+    Args:
+        table: flat embedding table ``[spec.total_params, spec.level_dim]``.
+        x: positions ``[..., 3]`` in ``[-size, size]``
+           (mapping mirrors encoder/hashencoder/hashgrid.py:126-137).
+        spec: static grid configuration.
+
+    Returns:
+        features ``[..., num_levels * level_dim]``, zero for out-of-bound inputs
+        (reference: encoder/hashencoder/src/hashencoder.cu:94-119).
+    """
+    if spec.input_dim != 3:
+        raise NotImplementedError("hash_encode currently supports 3-D inputs")
+    prefix = x.shape[:-1]
+    x = x.reshape(-1, 3)
+    x01 = (x + size) / (2.0 * size)
+
+    scales, _, _, _, _ = spec.level_constants
+    L, N, C = spec.num_levels, x01.shape[0], spec.level_dim
+
+    oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)  # [N]
+
+    scale = jnp.asarray(scales, x01.dtype)[:, None, None]  # [L,1,1]
+    # pos = x*scale + 0.5 (hashencoder.cu:127-131)
+    pos = x01[None, :, :] * scale + 0.5  # [L,N,3]
+    pos_floor = jnp.floor(pos)
+    frac = pos - pos_floor
+    base = pos_floor.astype(jnp.uint32)  # [L,N,3]
+
+    out = jnp.zeros((L, N, C), dtype=table.dtype)
+    for corner in range(8):
+        bits = jnp.asarray(
+            [(corner >> d) & 1 for d in range(3)], jnp.uint32
+        )  # [3]
+        pg = base + bits[None, None, :]
+        w = jnp.prod(
+            jnp.where(bits[None, None, :] == 1, frac, 1.0 - frac), axis=-1
+        )  # [L,N]
+        idx = _corner_indices(spec, pg)  # [L,N]
+        feats = jnp.take(table, idx.reshape(-1), axis=0).reshape(L, N, C)
+        out = out + w[..., None].astype(table.dtype) * feats
+
+    out = jnp.where(oob[None, :, None], 0.0, out)
+    # [L,N,C] -> [N, L*C] (layout matches hashgrid.py:41)
+    out = jnp.transpose(out, (1, 0, 2)).reshape(N, L * C)
+    return out.reshape(*prefix, spec.output_dim)
