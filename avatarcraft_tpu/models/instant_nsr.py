@@ -1,0 +1,658 @@
+"""Instant-NSR: hash-grid NeuS SDF field + volume render core, TPU-native.
+
+This is the re-design of the reference renderer (reference:
+models/instant_nsr.py:90-726). Key differences from the CUDA/torch original:
+
+* the whole render step -- near/far, stratified sampling, SDF-guided
+  importance upsampling, finite-difference normals, NeuS alpha compositing,
+  eikonal -- is ONE static-shape jit'd function (`render_rays`); the
+  reference's Python chunk loop becomes `lax.map` over fixed-size ray blocks
+  (`render_rays_chunked`),
+* the 1 + 6 finite-difference SDF evaluations per sample are batched into a
+  single [7*N*T, 3] network forward so the MXU sees one large matmul instead
+  of 7 small ones (reference: models/instant_nsr.py:210-214,687-704 issues 7
+  separate kernel launches),
+* posed-space warping is injected as a pure `warp_fn` callable so the same
+  render core serves canonical and warped rendering without host round trips
+  (the reference ships samples to the CPU for libigl each batch,
+  models/instant_nsr.py:166-172),
+* parameters are a plain pytree, replicable/shardable with jax.sharding.
+
+Weight-norm parameterization (w = g * v / ||v||_row) matches
+torch.nn.utils.weight_norm so reference checkpoints load bit-comparably
+(reference: models/instant_nsr.py:555-556,585-586).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avatarcraft_tpu.ops.hash_encoder import HashGridSpec, hash_encode, init_hash_table
+from avatarcraft_tpu.ops.sampling import (
+    near_far_from_bound,
+    sample_pdf,
+    stratified_z_vals,
+)
+from avatarcraft_tpu.ops.sh_encoder import sh_encode
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldConfig:
+    """Network hyperparameters (reference: models/instant_nsr.py:479-494)."""
+
+    grid: HashGridSpec = HashGridSpec()
+    num_layers: int = 2
+    hidden_dim: int = 64
+    geo_feat_dim: int = 15
+    num_layers_color: int = 3
+    hidden_dim_color: int = 64
+    include_input: bool = True
+    use_viewdirs: bool = False
+    sh_degree: int = 4
+    variance_init: float = 0.3
+
+    @property
+    def sdf_in_dim(self) -> int:
+        return self.grid.output_dim + (3 if self.include_input else 0)
+
+    @property
+    def color_in_dim(self) -> int:
+        # [x, (sh(d)), normal, geo_feat] (reference: models/instant_nsr.py:564-569)
+        d = self.geo_feat_dim + 6
+        if self.use_viewdirs:
+            d += self.sh_degree**2
+        return d
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Render-step hyperparameters (reference: models/instant_nsr.py:133,358)."""
+
+    num_steps: int = 64
+    upsample_steps: int = 64
+    upsample_round: int = 16  # importance samples added per round
+    bound: float = 1.6
+    perturb: bool = False
+    cos_anneal_ratio: float = 1.0
+    normal_epsilon_ratio: float = 0.0
+    curvature_loss: bool = False
+
+    @property
+    def total_steps(self) -> int:
+        return self.num_steps + self.upsample_steps
+
+
+# ---------------------------------------------------------------------------
+# Parameter init / MLP forward
+# ---------------------------------------------------------------------------
+
+
+def _weight_norm_apply(layer: dict) -> jnp.ndarray:
+    """w = g * v / ||v||_row, rows = output channels (torch weight_norm dim=0)."""
+    v = layer["v"]
+    norm = jnp.linalg.norm(v, axis=1, keepdims=True)
+    return v * (layer["g"][:, None] / (norm + 1e-12))
+
+
+def init_field_params(key: jax.Array, cfg: FieldConfig) -> dict:
+    """Geometric init + weight norm (reference: models/instant_nsr.py:522-589)."""
+    keys = jax.random.split(key, 16)
+    kit = iter(keys)
+
+    sdf_layers = []
+    for l in range(cfg.num_layers):
+        in_dim = cfg.sdf_in_dim if l == 0 else cfg.hidden_dim
+        out_dim = (
+            1 + cfg.geo_feat_dim if l == cfg.num_layers - 1 else cfg.hidden_dim
+        )
+        if l == cfg.num_layers - 1:
+            v = np.sqrt(np.pi) / np.sqrt(in_dim) + 1e-4 * jax.random.normal(
+                next(kit), (out_dim, in_dim)
+            )
+        elif l == 0 and cfg.include_input:
+            v_x = jax.random.normal(next(kit), (out_dim, 3)) * (
+                np.sqrt(2.0) / np.sqrt(out_dim)
+            )
+            v = jnp.concatenate([v_x, jnp.zeros((out_dim, in_dim - 3))], axis=1)
+        else:
+            v = jax.random.normal(next(kit), (out_dim, in_dim)) * (
+                np.sqrt(2.0) / np.sqrt(out_dim)
+            )
+        g = jnp.linalg.norm(v, axis=1)
+        # avoid zero-norm rows when the encoding block is zero-initialized
+        g = jnp.maximum(g, 1e-8)
+        sdf_layers.append({"v": v.astype(jnp.float32), "g": g.astype(jnp.float32), "b": jnp.zeros((out_dim,), jnp.float32)})
+
+    color_layers = []
+    for l in range(cfg.num_layers_color):
+        in_dim = cfg.color_in_dim if l == 0 else cfg.hidden_dim_color
+        out_dim = 3 if l == cfg.num_layers_color - 1 else cfg.hidden_dim_color
+        bound = 1.0 / np.sqrt(in_dim)
+        v = jax.random.uniform(next(kit), (out_dim, in_dim), minval=-bound, maxval=bound)
+        g = jnp.linalg.norm(v, axis=1)
+        color_layers.append({"v": v.astype(jnp.float32), "g": g.astype(jnp.float32)})
+
+    return {
+        "table": init_hash_table(next(kit), cfg.grid),
+        "sdf": sdf_layers,
+        "color": color_layers,
+        "variance": jnp.asarray(cfg.variance_init, jnp.float32),
+    }
+
+
+def _softplus100(x: jnp.ndarray) -> jnp.ndarray:
+    """Softplus with beta=100 (reference: models/instant_nsr.py:591)."""
+    return jax.nn.softplus(x * 100.0) / 100.0
+
+
+def forward_sdf(params: dict, x: jnp.ndarray, cfg: FieldConfig, bound: float) -> jnp.ndarray:
+    """[N,3] -> [N, 1+geo_feat_dim]; h = [x, hash(x)] through the SDF MLP
+    (reference: models/instant_nsr.py:627-642)."""
+    h = hash_encode(params["table"], x, cfg.grid, size=bound)
+    if cfg.include_input:
+        h = jnp.concatenate([x, h], axis=-1)
+    n = len(params["sdf"])
+    for l, layer in enumerate(params["sdf"]):
+        w = _weight_norm_apply(layer)
+        h = h @ w.T + layer["b"]
+        if l != n - 1:
+            h = _softplus100(h)
+    return h
+
+
+def forward_color(
+    params: dict,
+    x: jnp.ndarray,
+    d: jnp.ndarray,
+    normal: jnp.ndarray,
+    geo_feat: jnp.ndarray,
+    cfg: FieldConfig,
+) -> jnp.ndarray:
+    """[x, (sh(d)), n, geo_feat] -> rgb in [0,1]
+    (reference: models/instant_nsr.py:644-663)."""
+    if cfg.use_viewdirs:
+        d_enc = sh_encode(d, cfg.sh_degree)
+        h = jnp.concatenate([x, d_enc, normal, geo_feat], axis=-1)
+    else:
+        h = jnp.concatenate([x, normal, geo_feat], axis=-1)
+    n = len(params["color"])
+    for l, layer in enumerate(params["color"]):
+        w = _weight_norm_apply(layer)
+        h = h @ w.T
+        if l != n - 1:
+            h = jax.nn.relu(h)
+    return jax.nn.sigmoid(h)
+
+
+def forward_variance(params: dict) -> jnp.ndarray:
+    """inv_s = exp(10 * v), clipped (reference: models/instant_nsr.py:665-667,720-726)."""
+    return jnp.clip(jnp.exp(params["variance"] * 10.0), 1e-6, 1e6)
+
+
+def density(params: dict, x: jnp.ndarray, cfg: FieldConfig, bound: float) -> jnp.ndarray:
+    """SDF value only, [N] (reference: models/instant_nsr.py:669-681)."""
+    return forward_sdf(params, x, cfg, bound)[..., 0]
+
+
+_FD_OFFSETS = np.array(
+    [
+        [1, 0, 0],
+        [0, 1, 0],
+        [0, 0, 1],
+        [-1, 0, 0],
+        [0, -1, 0],
+        [0, 0, -1],
+    ],
+    dtype=np.float32,
+)
+
+
+def sdf_and_gradient(
+    params: dict, x: jnp.ndarray, cfg: FieldConfig, bound: float, epsilon: float
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One batched forward for SDF(+features) and 6-point FD gradient.
+
+    Returns (sdf [N,1], geo_feat [N,F], grad [N,3]). Semantics follow the
+    reference finite-difference normal approximator
+    (models/instant_nsr.py:687-704) but all 7 evaluations run as a single
+    [7N, 3] network call.
+    """
+    N = x.shape[0]
+    offs = jnp.asarray(_FD_OFFSETS) * epsilon  # [6,3]
+    stenciled = jnp.clip(x[None, :, :] + offs[:, None, :], -bound, bound)  # [6,N,3]
+    all_pts = jnp.concatenate([x[None], stenciled], axis=0).reshape(7 * N, 3)
+    out = forward_sdf(params, all_pts, cfg, bound)  # [7N, 1+F]
+    out = out.reshape(7, N, -1)
+    sdf = out[0, :, :1]
+    geo_feat = out[0, :, 1:]
+    d_pos = out[1:4, :, 0]  # [3,N]
+    d_neg = out[4:7, :, 0]
+    grad = (0.5 * (d_pos - d_neg) / epsilon).T  # [N,3]
+    return sdf, geo_feat, grad
+
+
+# ---------------------------------------------------------------------------
+# Importance upsampling (reference: models/instant_nsr.py:410-475)
+# ---------------------------------------------------------------------------
+
+
+def up_sample(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    sdf: jnp.ndarray,
+    n_importance: int,
+    inv_s: float,
+) -> jnp.ndarray:
+    """NeuS SDF-guided importance sampling at a fixed inv_s."""
+    B, T = z_vals.shape
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    radius = jnp.linalg.norm(pts, axis=-1)
+    inside_sphere = (radius[:, :-1] < 1.0) | (radius[:, 1:] < 1.0)
+
+    prev_z, next_z = z_vals[:, :-1], z_vals[:, 1:]
+    prev_sdf, next_sdf = sdf[:, :-1], sdf[:, 1:]
+    mid_sdf = (prev_sdf + next_sdf) * 0.5
+    cos_val = (next_sdf - prev_sdf) / (next_z - prev_z + 1e-5)
+
+    # use min(cos, prev_cos) for robustness (models/instant_nsr.py:442-445)
+    prev_cos = jnp.concatenate([jnp.zeros((B, 1), cos_val.dtype), cos_val[:, :-1]], axis=-1)
+    cos_val = jnp.minimum(prev_cos, cos_val)
+    cos_val = jnp.clip(cos_val, -1e3, 0.0) * inside_sphere.astype(cos_val.dtype)
+
+    dist = next_z - prev_z
+    prev_esti = mid_sdf - cos_val * dist * 0.5
+    next_esti = mid_sdf + cos_val * dist * 0.5
+    prev_cdf = jax.nn.sigmoid(prev_esti * inv_s)
+    next_cdf = jax.nn.sigmoid(next_esti * inv_s)
+    alpha = (prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5)
+
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones((B, 1), alpha.dtype), 1.0 - alpha + 1e-7], axis=-1),
+        axis=-1,
+    )[:, :-1]
+    weights = alpha * trans
+    return jax.lax.stop_gradient(sample_pdf(z_vals, weights, n_importance, det=True))
+
+
+def cat_z_vals(
+    sdf_fn,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    new_z_vals: jnp.ndarray,
+    sdf: jnp.ndarray,
+    bound: float,
+    last: bool,
+    warp=None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge-sort new z values in; evaluate SDF at the new points unless last.
+
+    ``sdf_fn``: [M,3] -> [M, 1+F]. ``warp``: optional posed->canonical
+    transform applied to the new sample points before evaluation.
+    """
+    B, T = z_vals.shape
+    n_new = new_z_vals.shape[1]
+    z_cat = jnp.concatenate([z_vals, new_z_vals], axis=-1)
+    z_sorted, order = jax.lax.sort_key_val(
+        z_cat, jnp.broadcast_to(jnp.arange(T + n_new), z_cat.shape)
+    )
+    if last:
+        return z_sorted, sdf
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z_vals[..., None]
+    if warp is not None:
+        pts, _, _ = warp(pts)
+    pts = jnp.clip(pts, -bound, bound)
+    new_sdf = jax.lax.stop_gradient(
+        sdf_fn(pts.reshape(-1, 3))[:, 0]
+    ).reshape(B, n_new)
+    sdf_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
+    sdf_sorted = jnp.take_along_axis(sdf_cat, order, axis=-1)
+    return z_sorted, sdf_sorted
+
+
+# ---------------------------------------------------------------------------
+# The render core (reference: models/instant_nsr.py:133-299)
+# ---------------------------------------------------------------------------
+
+WarpFn = Callable[[jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldFns:
+    """Injectable field evaluation, letting the same render core serve the
+    hash-grid network, the legacy freq-NeuS network, or analytic test fields.
+
+    sdf:   [M,3] -> [M, 1+F] (sdf value + geometry features)
+    color: (x [M,3], d [M,3], n [M,3], feat [M,F]) -> [M,3]
+    inv_s: () -> scalar
+    """
+
+    sdf: Callable[[jnp.ndarray], jnp.ndarray]
+    color: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+    inv_s: Callable[[], jnp.ndarray]
+
+
+def network_field_fns(params: dict, fcfg: FieldConfig, bound: float) -> FieldFns:
+    return FieldFns(
+        sdf=lambda x: forward_sdf(params, x, fcfg, bound),
+        color=lambda x, d, n, f: forward_color(params, x, d, n, f, fcfg),
+        inv_s=lambda: forward_variance(params),
+    )
+
+
+def _field_sdf_and_gradient(
+    field: FieldFns, x: jnp.ndarray, bound: float, epsilon: float
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched 7-point evaluation through an arbitrary FieldFns."""
+    N = x.shape[0]
+    offs = jnp.asarray(_FD_OFFSETS) * epsilon
+    stenciled = jnp.clip(x[None, :, :] + offs[:, None, :], -bound, bound)
+    all_pts = jnp.concatenate([x[None], stenciled], axis=0).reshape(7 * N, 3)
+    out = field.sdf(all_pts).reshape(7, N, -1)
+    sdf = out[0, :, :1]
+    geo_feat = out[0, :, 1:]
+    grad = (0.5 * (out[1:4, :, 0] - out[4:7, :, 0]) / epsilon).T
+    return sdf, geo_feat, grad
+
+
+def render_rays(
+    params: dict,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    key: jax.Array,
+    fcfg: FieldConfig,
+    rcfg: RenderConfig,
+    bg_color: jnp.ndarray | float = 1.0,
+    near_far: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    warp_fn: WarpFn | None = None,
+    field: FieldFns | None = None,
+) -> dict:
+    """Render a batch of rays through the NeuS field. Fully static shapes.
+
+    Args:
+        rays_o, rays_d: [N, 3].
+        key: PRNG key (used when rcfg.perturb).
+        bg_color: scalar or [N, 3] background.
+        near_far: optional ([N,1], [N,1]) override (mesh-guided bounds for
+            posed rendering; reference: models/instant_nsr.py:147-153).
+        warp_fn: optional posed->canonical warp applied to sample points
+            ([N,T,3] -> (can_pts [N,T,3], can_dirs [N,T,3], mask [N,T])).
+
+    Returns dict with rgb [N,3], depth [N], weights [N,T], weight_sum [N,1],
+    normal [N,3], gradient_error scalar, z_vals [N,T], pts_alpha [N,T],
+    pts_color [N,T,3].
+    """
+    N = rays_o.shape[0]
+    bound = rcfg.bound
+    num_steps = rcfg.num_steps
+    if field is None:
+        field = network_field_fns(params, fcfg, bound)
+
+    near, far = near_far_from_bound(rays_o, rays_d, bound, kind="cube")
+    if near_far is not None:
+        near_g, far_g = near_far
+        near = jnp.where(jnp.isinf(near_g), near, near_g)
+        far = jnp.where(jnp.isinf(far_g), far, far_g)
+
+    key, k_perturb = jax.random.split(key)
+    z_vals = stratified_z_vals(
+        near, far, num_steps, perturb=rcfg.perturb, key=k_perturb
+    )
+    sample_dist = (far - near) / num_steps  # [N,1]
+
+    def warp(pts_flat_shape_NT3):
+        """Apply posed->canonical warp; identity when warp_fn is None."""
+        if warp_fn is None:
+            return pts_flat_shape_NT3, None, None
+        can_pts, can_dirs, mask = warp_fn(pts_flat_shape_NT3)
+        return can_pts, can_dirs, mask
+
+    # ---- coarse points + importance upsampling (no grad) ----
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]  # [N,T,3]
+    pts, _, _ = warp(pts)
+    pts = jnp.clip(pts, -bound, bound)
+
+    if rcfg.upsample_steps > 0:
+        sdf_coarse = jax.lax.stop_gradient(
+            field.sdf(pts.reshape(-1, 3))[:, 0]
+        ).reshape(N, num_steps)
+        z_cur, sdf_cur = z_vals, sdf_coarse
+        n_rounds = rcfg.upsample_steps // rcfg.upsample_round
+        for i in range(n_rounds):
+            # NOTE: upsampling importance-samples against the *canonical-space*
+            # SDF along the posed-space ray; for the warped path this matches
+            # the reference behavior (upsample uses unwarped z-vals & sdf
+            # evaluated at warped points, models/instant_nsr.py:175-187).
+            new_z = up_sample(
+                rays_o, rays_d, z_cur, sdf_cur, rcfg.upsample_round, 64 * 2**i
+            )
+            z_cur, sdf_cur = cat_z_vals(
+                field.sdf, rays_o, rays_d, z_cur, new_z, sdf_cur,
+                bound, last=(i + 1 == n_rounds),
+                warp=None if warp_fn is None else warp,
+            )
+        z_vals = z_cur
+
+    total_steps = rcfg.total_steps
+
+    # ---- midpoint resampling (reference: models/instant_nsr.py:190-208) ----
+    deltas = z_vals[:, 1:] - z_vals[:, :-1]
+    deltas = jnp.concatenate(
+        [deltas, jnp.broadcast_to(sample_dist, (N, 1))], axis=-1
+    )  # [N,T]
+    z_mid = jnp.concatenate(
+        [z_vals[:, :-1] + 0.5 * deltas[:, :-1], z_vals[:, -1:]], axis=-1
+    )
+    new_pts = rays_o[:, None, :] + rays_d[:, None, :] * z_mid[..., None]  # [N,T,3]
+
+    alpha_mask = None
+    dirs = jnp.broadcast_to(rays_d[:, None, :], new_pts.shape)
+    new_pts, can_dirs, alpha_mask = warp(new_pts)
+    new_pts = jnp.clip(new_pts, -bound, bound)
+
+    # ---- the single big network evaluation ----
+    eps = 0.005 * (1.0 - rcfg.normal_epsilon_ratio)
+    flat_pts = new_pts.reshape(-1, 3)
+    sdf, geo_feat, gradient = _field_sdf_and_gradient(field, flat_pts, bound, eps)
+    normal = gradient / (1e-5 + jnp.linalg.norm(gradient, axis=-1, keepdims=True))
+
+    flat_dirs = dirs.reshape(-1, 3)
+    color = field.color(flat_pts, flat_dirs, normal, geo_feat)
+
+    inv_s = field.inv_s()
+
+    true_cos = jnp.sum(flat_dirs * normal, axis=-1, keepdims=True)
+    # softplus-annealed cos (reference: models/instant_nsr.py:231-233)
+    iter_cos = -(
+        _softplus100(-true_cos * 0.5 + 0.5) * (1.0 - rcfg.cos_anneal_ratio)
+        + _softplus100(-true_cos) * rcfg.cos_anneal_ratio
+    )
+
+    flat_deltas = deltas.reshape(-1, 1)
+    est_next = sdf + iter_cos * flat_deltas * 0.5
+    est_prev = sdf - iter_cos * flat_deltas * 0.5
+    prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
+    next_cdf = jax.nn.sigmoid(est_next * inv_s)
+
+    # NeuS eq. 13 (reference: models/instant_nsr.py:243)
+    alpha = jnp.clip(
+        (prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0
+    ).reshape(N, total_steps)
+
+    if alpha_mask is not None:
+        alpha = alpha * alpha_mask.reshape(N, total_steps).astype(alpha.dtype)
+
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones((N, 1), alpha.dtype), 1.0 - alpha + 1e-7], axis=-1),
+        axis=-1,
+    )[:, :-1]
+    weights = alpha * trans  # [N,T]
+    weights_sum = weights.sum(axis=-1, keepdims=True)
+
+    color = color.reshape(N, total_steps, 3)
+    image = (color * weights[:, :, None]).sum(axis=1)
+
+    normal_map = (normal.reshape(N, total_steps, 3) * weights[:, :, None]).sum(axis=1)
+
+    ori_z = jnp.clip((z_vals - near) / (far - near), 0.0, 1.0)
+    depth = jnp.sum(weights * ori_z, axis=-1)
+
+    # eikonal over the relaxed inside-sphere region
+    # (reference: models/instant_nsr.py:266-272)
+    pts_norm = jnp.linalg.norm(flat_pts, axis=-1).reshape(N, total_steps)
+    relax_inside = jax.lax.stop_gradient((pts_norm < 1.2).astype(jnp.float32))
+    grad_err = (jnp.linalg.norm(gradient.reshape(N, total_steps, 3), axis=-1) - 1.0) ** 2
+    gradient_error = (relax_inside * grad_err).sum() / (relax_inside.sum() + 1e-5)
+
+    curvature_error = jnp.asarray(0.0)
+    if rcfg.curvature_loss:
+        key, k_curv = jax.random.split(key)
+        rand_vec = 2.0 * jax.random.normal(k_curv, normal.shape) - 1.0
+        rand_vec = rand_vec / (
+            1e-5 + jnp.linalg.norm(rand_vec, axis=-1, keepdims=True)
+        )
+        perturbed = flat_pts + jnp.cross(normal, rand_vec) * 0.01 * (
+            1.0 - rcfg.normal_epsilon_ratio
+        )
+        _, _, pgrad = _field_sdf_and_gradient(field, perturbed, bound, eps)
+        pnormal = pgrad / (1e-5 + jnp.linalg.norm(pgrad, axis=-1, keepdims=True))
+        cerr = (jnp.sum(normal * pnormal, axis=-1) - 1.0) ** 2
+        curvature_error = (relax_inside * cerr.reshape(N, total_steps)).sum() / (
+            relax_inside.sum() + 1e-5
+        )
+
+    bg = bg_color if not isinstance(bg_color, (int, float)) else jnp.asarray(bg_color)
+    image = image + (1.0 - weights_sum) * bg
+
+    return {
+        "rgb": image,
+        "depth": depth,
+        "weights": weights,
+        "weight_sum": weights_sum,
+        "normal": normal_map,
+        "gradient_error": gradient_error,
+        "curvature_error": curvature_error,
+        "pts_color": color,
+        "pts_alpha": alpha,
+        "z_vals": z_vals,
+    }
+
+
+def render_rays_chunked(
+    params: dict,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    key: jax.Array,
+    fcfg: FieldConfig,
+    rcfg: RenderConfig,
+    bg_color: jnp.ndarray | float = 1.0,
+    chunk: int = 4096,
+) -> dict:
+    """Render an arbitrary number of rays in fixed-size chunks via lax.map.
+
+    Replaces the reference's Python chunk loop
+    (utils/render_utils.py:514-600) with a single compiled program; rays are
+    padded to a multiple of ``chunk``.
+    """
+    n = rays_o.shape[0]
+    n_pad = (-n) % chunk
+    rays_o_p = jnp.concatenate([rays_o, jnp.ones((n_pad, 3), rays_o.dtype)], axis=0)
+    rays_d_p = jnp.concatenate(
+        [rays_d, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], rays_d.dtype), (n_pad, 3))],
+        axis=0,
+    )
+    n_chunks = (n + n_pad) // chunk
+    keys = jax.random.split(key, n_chunks)
+
+    bg_is_array = not isinstance(bg_color, (int, float))
+    if bg_is_array:
+        bg_p = jnp.concatenate([bg_color, jnp.ones((n_pad, 3), rays_o.dtype)], axis=0)
+        bg_p = bg_p.reshape(n_chunks, chunk, 3)
+
+    def body(args):
+        if bg_is_array:
+            ro, rd, k, bg = args
+        else:
+            ro, rd, k = args
+            bg = bg_color
+        out = render_rays(params, ro, rd, k, fcfg, rcfg, bg)
+        return {
+            "rgb": out["rgb"],
+            "depth": out["depth"],
+            "weight_sum": out["weight_sum"],
+            "normal": out["normal"],
+            "gradient_error": out["gradient_error"],
+        }
+
+    xs = (
+        (
+            rays_o_p.reshape(n_chunks, chunk, 3),
+            rays_d_p.reshape(n_chunks, chunk, 3),
+            keys,
+            bg_p,
+        )
+        if bg_is_array
+        else (
+            rays_o_p.reshape(n_chunks, chunk, 3),
+            rays_d_p.reshape(n_chunks, chunk, 3),
+            keys,
+        )
+    )
+    out = jax.lax.map(body, xs)
+    return {
+        "rgb": out["rgb"].reshape(-1, 3)[:n],
+        "depth": out["depth"].reshape(-1)[:n],
+        "weight_sum": out["weight_sum"].reshape(-1, 1)[:n],
+        "normal": out["normal"].reshape(-1, 3)[:n],
+        "gradient_error": out["gradient_error"].mean(),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Geometry extraction (reference: models/instant_nsr.py:706-764)
+# ---------------------------------------------------------------------------
+
+
+def extract_sdf_grid(
+    params: dict,
+    fcfg: FieldConfig,
+    bound: float,
+    resolution: int,
+    block: int = 128,
+) -> np.ndarray:
+    """Evaluate the SDF on a dense grid, blockwise on device -> host ndarray."""
+    xs = np.linspace(-bound, bound, resolution, dtype=np.float32)
+    out = np.empty((resolution,) * 3, dtype=np.float32)
+
+    eval_fn = jax.jit(
+        lambda pts: density(params, pts, fcfg, bound), static_argnums=()
+    )
+    for i0 in range(0, resolution, block):
+        xi = xs[i0 : i0 + block]
+        gx, gy, gz = np.meshgrid(xi, xs, xs, indexing="ij")
+        pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+        vals = np.asarray(eval_fn(jnp.asarray(pts)))
+        out[i0 : i0 + block] = vals.reshape(len(xi), resolution, resolution)
+    return out
+
+
+def extract_geometry(
+    params: dict,
+    fcfg: FieldConfig,
+    bound: float,
+    resolution: int,
+    threshold: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Marching cubes over -SDF (host), matching the reference mesh export."""
+    u = -extract_sdf_grid(params, fcfg, bound, resolution)
+    from avatarcraft_tpu.utils.marching_cubes import marching_cubes
+
+    verts, tris = marching_cubes(u, threshold)
+    verts = verts / (resolution - 1.0) * (2 * bound) - bound
+    return verts.astype(np.float32), tris
