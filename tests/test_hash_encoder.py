@@ -133,4 +133,5 @@ def test_jit_and_vmap_compose(small_spec):
     x = jax.random.uniform(jax.random.PRNGKey(2), (8, 3), minval=-1, maxval=1)
     eager = hash_encode(table, x, small_spec)
     jitted = jax.jit(lambda t, xx: hash_encode(t, xx, small_spec))(table, x)
-    np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted), rtol=1e-6)
+    # jit fuses the multiply-add chain differently; allow a few ulps
+    np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted), rtol=1e-5, atol=1e-9)
