@@ -1,0 +1,123 @@
+"""CLI: pretrain the canonical bare-SMPL NeuS (reference: reconstruct.py).
+
+Usage parity:
+    python reconstruct.py --data_format neus --data_path data/smpl_da_512 \
+        --exp_name recon --epochs 2 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from avatarcraft_tpu.cli import options
+from avatarcraft_tpu.constants import NSR_BOUND
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    options.set_general_option(parser)
+    options.set_nerf_option(parser)
+    options.set_pe_option(parser)
+    options.set_render_option(parser)
+    options.set_trajectory_option(parser)
+    parser.add_argument("--data_format", default="neus", choices=["neuman", "neus"])
+    parser.add_argument("--data_path", default="data/smpl_da_512", type=str)
+    parser.add_argument("--implicit_model", default="instant_nsr", choices=["neus", "instant_nsr"])
+    parser.add_argument("--exp_name", type=str, default="recon")
+    parser.add_argument("--epochs", default=2, type=int)
+    parser.add_argument("--lr", default=5e-4, type=float)
+    parser.add_argument("--batch_size", default=1600, type=int)
+    parser.add_argument("--i_val", default=2000, type=int)
+    parser.add_argument("--i_save", default=2000, type=int)
+    parser.add_argument("--i_mesh", default=10000, type=int)
+    parser.add_argument("--mesh_resolution", default=512, type=int)
+    parser.add_argument("--out_dir", default="./style/canonical_360", type=str)
+    parser.add_argument("--max_steps", default=None, type=int)
+    return parser
+
+
+def main(argv=None):
+    opt = build_parser().parse_args(argv)
+    options.apply_platform(opt)
+    options.print_opt(opt, os.path.join(opt.out_dir, opt.exp_name))
+
+    import imageio.v2 as imageio
+    import jax
+
+    from avatarcraft_tpu.data import SMPLMultiviewDataset
+    from avatarcraft_tpu.models.instant_nsr import (
+        FieldConfig,
+        RenderConfig,
+        extract_geometry,
+        render_rays_chunked,
+    )
+    from avatarcraft_tpu.utils.checkpoint import save_torch_checkpoint
+    from avatarcraft_tpu.utils.mesh_export import save_ply
+    from avatarcraft_tpu.utils.metrics import integerify_img
+    from avatarcraft_tpu.workloads.reconstruct import ReconstructConfig, train
+
+    if opt.data_format == "neuman":
+        raise NotImplementedError("neuman data format is dead in the reference too")
+
+    ds = SMPLMultiviewDataset(opt.data_path)
+    fcfg = FieldConfig()
+    rcfg = RenderConfig(num_steps=64, upsample_steps=64, bound=NSR_BOUND, perturb=True)
+    rcfg_val = RenderConfig(num_steps=64, upsample_steps=64, bound=NSR_BOUND, perturb=False)
+    cfg = ReconstructConfig(
+        batch_size=opt.batch_size,
+        lr=opt.lr,
+        epochs=opt.epochs,
+        white_bkg=opt.white_bkg,
+    )
+
+    exp_dir = os.path.join(opt.out_dir, opt.exp_name)
+    os.makedirs(exp_dir, exist_ok=True)
+
+    val_render = jax.jit(
+        lambda p, ro, rd, k: render_rays_chunked(
+            p, ro, rd, k, fcfg, rcfg_val, 1.0 if opt.white_bkg else 0.0, chunk=8192
+        )["rgb"]
+    )
+
+    def log_val(step, params):
+        rays_o, rays_d = ds.gen_rays_at(62)  # reference's val view
+        rgb = val_render(params, rays_o, rays_d, jax.random.PRNGKey(0))
+        img = integerify_img(np.asarray(rgb).reshape(ds.H, ds.W, 3))
+        path = os.path.join(exp_dir, f"{opt.exp_name}_{step + 1:04d}.png")
+        imageio.imwrite(path, img)
+        print(f"image saved: {path}")
+
+    def on_step(step, params, loss):
+        if step % 200 == 0:
+            print(f"step {step}: loss {float(loss):.5f}")
+        if (step + 1) % opt.i_val == 0:
+            log_val(step, params)
+        if (step + 1) % opt.i_save == 0:
+            path = os.path.join(exp_dir, f"{opt.exp_name}_{step + 1:04d}.pth.tar")
+            save_torch_checkpoint(jax.device_get(params), path)
+            print(f"weights saved: {path}")
+        if (step + 1) % opt.i_mesh == 0:
+            verts, faces = extract_geometry(params, fcfg, NSR_BOUND, opt.mesh_resolution)
+            path = os.path.join(exp_dir, f"{opt.exp_name}_{step + 1:04d}.ply")
+            save_ply(verts, faces, path)
+            print(f"mesh saved: {path}")
+
+    params, stats = train(
+        ds, fcfg, rcfg, cfg, max_steps=opt.max_steps, callbacks={"on_step": on_step}
+    )
+
+    final = os.path.join(exp_dir, f"{opt.exp_name}_final.pth.tar")
+    save_torch_checkpoint(jax.device_get(params), final)
+    print(f"weights saved: {final}")
+    print(
+        f"done: {stats['steps']} steps, {stats.get('steps_per_sec', 0):.2f} steps/s, "
+        f"{stats.get('rays_per_sec', 0):.0f} rays/s"
+    )
+    return params, stats
+
+
+if __name__ == "__main__":
+    main()
