@@ -1,0 +1,110 @@
+"""CLI: animation / shape-interpolation rendering
+(reference: render_warp.py entry point)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from avatarcraft_tpu.cli import options
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    options.set_general_option(parser)
+    options.set_nerf_option(parser)
+    options.set_pe_option(parser)
+    options.set_render_option(parser)
+    options.set_trajectory_option(parser)
+    parser.add_argument("--exp_name", default="exp", type=str)
+    parser.add_argument("--implicit_model", default="instant_nsr",
+                        choices=["neus", "nerf", "instant_nsr"])
+    parser.add_argument("--poseseq_path", default=None, type=str)
+    parser.add_argument("--render_type", default="animate", choices=["animate", "interp_shape"])
+    parser.add_argument("--shape_from_path", type=str, default=None)
+    parser.add_argument("--shape_to_path", type=str, default=None)
+    parser.add_argument("--max_frames", default=20, type=int)
+    parser.add_argument("--resolution", default=256, type=int, choices=[128, 256, 512])
+    parser.add_argument("--render_view", default=58, type=int,
+                        help="dataset camera index (reference uses 58/33/...)")
+    parser.add_argument("--smpl_path", default="data/smplx/smpl", type=str)
+    parser.add_argument("--data_path", default="data/smpl_da_512", type=str)
+    parser.add_argument("--out_dir", default="./demo", type=str)
+    return parser
+
+
+def main(argv=None):
+    opt = build_parser().parse_args(argv)
+    options.apply_platform(opt)
+
+    import imageio.v2 as imageio
+    import jax
+
+    from avatarcraft_tpu.data import SMPLMultiviewDataset
+    from avatarcraft_tpu.data.amass import load_pose_sequence
+    from avatarcraft_tpu.models.instant_nsr import FieldConfig
+    from avatarcraft_tpu.models.smpl import load_smpl
+    from avatarcraft_tpu.utils.checkpoint import safe_load_params
+    from avatarcraft_tpu.utils.metrics import integerify_img
+    from avatarcraft_tpu.warp import WarpData
+    from avatarcraft_tpu.workloads.warp_render import (
+        WarpRenderSettings,
+        calc_local_trans,
+        make_warp_frame_renderer,
+    )
+
+    pose_seq = None
+    if opt.poseseq_path is not None:
+        pose_seq = load_pose_sequence(opt.poseseq_path)
+
+    shape_from = np.load(opt.shape_from_path).astype(np.float32) if opt.shape_from_path else None
+    shape_to = np.load(opt.shape_to_path).astype(np.float32) if opt.shape_to_path else None
+
+    model = load_smpl(opt.smpl_path)
+    world_verts, Ts, n_frames = calc_local_trans(
+        model,
+        render_type=opt.render_type,
+        poses=pose_seq,
+        shape_from=shape_from,
+        shape_to=shape_to,
+        max_frames=opt.max_frames,
+    )
+
+    fcfg = FieldConfig()
+    params = safe_load_params(opt.weights_path)
+
+    ds = SMPLMultiviewDataset(opt.data_path)
+    pose = ds.poses[opt.render_view]
+    subsample = int(ds.H / opt.resolution)
+    rays_o, rays_d = ds.gen_rays_pose(pose, subsample)
+
+    settings = WarpRenderSettings()
+    render_frame = make_warp_frame_renderer(
+        fcfg, settings, 1.0 if opt.white_bkg else 0.0
+    )
+
+    exp_dir = os.path.join(opt.out_dir, "test_views", opt.exp_name)
+    os.makedirs(exp_dir, exist_ok=True)
+    preds = []
+    for i in range(n_frames):
+        data = WarpData.create(world_verts[i], model.faces, Ts[i])
+        rgb = render_frame(params, rays_o, rays_d, data)
+        img = integerify_img(
+            np.asarray(rgb).reshape(opt.resolution, opt.resolution, 3)
+        )
+        path = os.path.join(exp_dir, f"{opt.exp_name}_{i:04d}.png")
+        imageio.imwrite(path, img)
+        print(f"image saved: {path}")
+        preds.append(img)
+
+    if opt.render_type == "interp_shape":
+        preds = preds + preds[::-1]  # smoother loop (reference: render_warp.py:118-120)
+    gif = os.path.join(exp_dir, f"{opt.exp_name}.gif")
+    imageio.mimsave(gif, preds, fps=10, loop=0)
+    print(f"gif saved: {gif}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""CLI: SDS avatar creation (reference: stylize.py entry point).
+
+Flag names preserved. The diffusion guidance loads real Stable Diffusion
+weights when ``--sd_weights`` points at a converted checkpoint (see
+avatarcraft_tpu.models.sd); otherwise a deterministic stand-in guidance is
+used so the pipeline remains runnable in closed environments (clearly
+logged -- it will not produce meaningful styles).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from avatarcraft_tpu.cli import options
+from avatarcraft_tpu.constants import NSR_BOUND
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    options.set_general_option(parser)
+    options.set_nerf_option(parser)
+    options.set_pe_option(parser)
+    options.set_render_option(parser)
+    options.set_trajectory_option(parser)
+    parser.add_argument("--guidance_type", default="diffusion", choices=["clip", "diffusion"])
+    parser.add_argument("--tgt_text", default="zombie", type=str)
+    parser.add_argument("--subsample_scale", default=4, type=int)
+    parser.add_argument("--stylize_head", default=True, type=options.str2bool)
+    parser.add_argument("--implicit_model", default="instant_nsr", choices=["neus", "instant_nsr"])
+    parser.add_argument("--batch_size", type=int, default=4096)
+    parser.add_argument("--guidance_scale", default=100, type=float)
+    parser.add_argument("--sd_version", default="1.5", type=str, choices=["1.5", "2.0"])
+    parser.add_argument("--sd_weights", default=None, type=str,
+                        help="path to converted Stable Diffusion weights (torch dir or file)")
+    parser.add_argument("--use_opacity", default=True, type=options.str2bool)
+    parser.add_argument("--w_opacity", default=10000.0, type=float)
+    parser.add_argument("--w_eikonal", default=0.01, type=float)
+    parser.add_argument("--exp_name", type=str, default="zombie")
+    parser.add_argument("--epochs", default=2, type=int)
+    parser.add_argument("--coarse_epochs", default=40, type=int)
+    parser.add_argument("--fine_epochs", default=20, type=int)
+    parser.add_argument("--lr", default=5e-3, type=float)
+    parser.add_argument("--i_val", default=100, type=int)
+    parser.add_argument("--i_save", default=1000, type=int)
+    parser.add_argument("--i_mesh", default=1000, type=int)
+    parser.add_argument("--augment_bkg", default=True, type=options.str2bool)
+    parser.add_argument("--augment_cam", default=True, type=options.str2bool)
+    parser.add_argument("--augment_text", default=True, type=options.str2bool)
+    parser.add_argument("--coarse_head", default=0.2, type=float)
+    parser.add_argument("--fine_head", default=0.5, type=float)
+    parser.add_argument("--max_steps", default=None, type=int)
+    parser.add_argument("--out_dir", default="./style/canonical_360", type=str)
+    return parser
+
+
+def build_guidance(opt):
+    from avatarcraft_tpu.models.diffusion import SDSGuidance, make_dummy_modules
+
+    if opt.sd_weights:
+        from avatarcraft_tpu.models.sd import load_stable_diffusion_modules
+
+        modules = load_stable_diffusion_modules(opt.sd_weights, version=opt.sd_version)
+        print(f"[stylize] loaded Stable Diffusion {opt.sd_version} from {opt.sd_weights}")
+    else:
+        modules = make_dummy_modules(image_size=512)
+        print(
+            "[stylize] WARNING: no --sd_weights given; using the deterministic "
+            "stand-in guidance (pipeline smoke mode, no meaningful styles)."
+        )
+    return SDSGuidance(modules)
+
+
+def main(argv=None):
+    opt = build_parser().parse_args(argv)
+    options.apply_platform(opt)
+    options.print_opt(opt, os.path.join(opt.out_dir, opt.exp_name))
+
+    import imageio.v2 as imageio
+    import jax
+
+    from avatarcraft_tpu.cameras import default_360_path, pose2rays
+    from avatarcraft_tpu.constants import CANONICAL_CAMERA_DIST_VAL
+    from avatarcraft_tpu.models.instant_nsr import (
+        FieldConfig,
+        RenderConfig,
+        extract_geometry,
+        render_rays_chunked,
+    )
+    from avatarcraft_tpu.utils.checkpoint import safe_load_params, save_torch_checkpoint
+    from avatarcraft_tpu.utils.mesh_export import save_ply
+    from avatarcraft_tpu.utils.metrics import integerify_img
+    from avatarcraft_tpu.workloads.stylize import StylizeConfig, StylizeTrainer
+
+    if opt.guidance_type == "clip":
+        raise NotImplementedError("CLIP guidance is dead in the reference too")
+
+    fcfg = FieldConfig()
+    assert opt.weights_path, "--weights_path (pretrained canonical field) is required"
+    params_gt = safe_load_params(opt.weights_path)
+    params_style = jax.tree_util.tree_map(lambda x: x.copy(), params_gt)
+
+    cfg = StylizeConfig(
+        tgt_text=opt.tgt_text,
+        guidance_scale=opt.guidance_scale,
+        coarse_epochs=opt.coarse_epochs,
+        fine_epochs=opt.fine_epochs,
+        subsample_scale=opt.subsample_scale,
+        batch_size=opt.batch_size,
+        lr=opt.lr,
+        w_eikonal=opt.w_eikonal,
+        use_opacity=opt.use_opacity,
+        stylize_head=opt.stylize_head,
+        coarse_head=opt.coarse_head,
+        fine_head=opt.fine_head,
+        augment_bkg=opt.augment_bkg,
+        augment_cam=opt.augment_cam,
+        augment_text=opt.augment_text,
+        white_bkg=opt.white_bkg,
+    )
+
+    trainer = StylizeTrainer(cfg, fcfg, build_guidance(opt), params_style, params_gt)
+    exp_dir = os.path.join(opt.out_dir, opt.exp_name)
+    os.makedirs(exp_dir, exist_ok=True)
+
+    rcfg_val = RenderConfig(num_steps=64, upsample_steps=64, bound=NSR_BOUND)
+    val_render = jax.jit(
+        lambda p, ro, rd: render_rays_chunked(
+            p, ro, rd, jax.random.PRNGKey(0), fcfg, rcfg_val, 1.0, chunk=opt.batch_size
+        )["rgb"]
+    )
+
+    def log_img(step, params):
+        poses, _ = default_360_path(
+            np.zeros(3), np.array([0.0, 1.0, 0.0]), CANONICAL_CAMERA_DIST_VAL, cfg.n_cap
+        )
+        rays_o, rays_d = pose2rays(cfg.H, cfg.W, poses[0])
+        rgb = val_render(params, rays_o, rays_d)
+        img = integerify_img(np.asarray(rgb).reshape(cfg.H, cfg.W, 3))
+        path = os.path.join(exp_dir, f"{opt.exp_name}_{step + 1:04d}_body.png")
+        imageio.imwrite(path, img)
+        print(f"image saved: {path}")
+
+    def on_step(step, params):
+        if (step + 1) % opt.i_val == 0:
+            log_img(step, params)
+        if (step + 1) % opt.i_save == 0:
+            path = os.path.join(exp_dir, f"{opt.exp_name}_{step + 1:04d}.pth.tar")
+            save_torch_checkpoint(jax.device_get(params), path)
+            print(f"weights saved: {path}")
+        if (step + 1) % opt.i_mesh == 0:
+            verts, faces = extract_geometry(params, fcfg, NSR_BOUND, 512)
+            save_ply(verts, faces, os.path.join(exp_dir, f"{opt.exp_name}_{step + 1:04d}.ply"))
+
+    steps = trainer.train(max_steps=opt.max_steps, on_step=on_step)
+    final = os.path.join(exp_dir, f"{opt.exp_name}_final.pth.tar")
+    save_torch_checkpoint(jax.device_get(trainer.params_style), final)
+    print(f"finished {steps} SDS steps; weights saved: {final}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,215 @@
+"""Score Distillation Sampling guidance (the reference's L5 layer).
+
+Re-designs the reference StableDiffusion wrapper (reference:
+models/diffusion.py:24-333) as a functional JAX module:
+
+* the diffusion schedule is closed-form (scaled-linear betas -> alphas_cumprod;
+  reference builds a PNDMScheduler just for these constants,
+  models/diffusion.py:63-64), no weights needed;
+* ``sds_image_grad`` reproduces ``mannual_backward`` exactly: resize render to
+  512^2, VAE-encode WITH grad, one random t in [0.02T, 0.98T], eps-prediction
+  WITHOUT grad, classifier-free guidance at scale 100, gradient
+  w(t)*(eps_hat - eps) clamped to +-1, pulled back through the VAE encoder and
+  the resize by one jax.vjp (reference: models/diffusion.py:92-149);
+* the denoiser/VAE/text-encoder are injected callables, so the same machinery
+  drives the full Stable Diffusion modules (avatarcraft_tpu.models.sd) or a
+  tiny stand-in for tests. Everything jits; the UNet eval is data-parallel
+  across views when the stylize workload shards its batch.
+
+Also provides txt2img sampling (PNDM/DDIM-style) mirroring produce_latents /
+decode_latents / prompt_to_img (reference: models/diffusion.py:266-333).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionSchedule:
+    """Scaled-linear beta schedule (SD default; reference: models/diffusion.py:63)."""
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+
+    @property
+    def betas(self) -> np.ndarray:
+        return (
+            np.linspace(
+                self.beta_start**0.5,
+                self.beta_end**0.5,
+                self.num_train_timesteps,
+                dtype=np.float64,
+            )
+            ** 2
+        )
+
+    @property
+    def alphas_cumprod(self) -> np.ndarray:
+        return np.cumprod(1.0 - self.betas).astype(np.float32)
+
+    @property
+    def min_step(self) -> int:
+        return int(self.num_train_timesteps * 0.02)
+
+    @property
+    def max_step(self) -> int:
+        return int(self.num_train_timesteps * 0.98)
+
+
+@dataclasses.dataclass(frozen=True)
+class GuidanceModules:
+    """The three injected networks.
+
+    unet:        (latents [B,C,h,w], t [B], text_emb [B,L,D]) -> eps [B,C,h,w]
+    vae_encode:  (images [B,3,H,W] in [0,1]) -> latents [B,C,h,w]
+                 (deterministic mean * 0.18215, reference: models/diffusion.py:304-312)
+    text_encode: (list[str]) -> [n, L, D] embeddings
+    """
+
+    unet: Callable
+    vae_encode: Callable
+    text_encode: Callable
+    latent_scale: int = 8  # image->latent downsampling factor
+    image_size: int = 512
+
+
+class SDSGuidance:
+    """Functional SDS guidance with reference-parity semantics."""
+
+    def __init__(
+        self,
+        modules: GuidanceModules,
+        schedule: DiffusionSchedule = DiffusionSchedule(),
+    ):
+        self.m = modules
+        self.schedule = schedule
+        self.alphas = jnp.asarray(schedule.alphas_cumprod)
+
+    # -- text ---------------------------------------------------------------
+    def get_text_embeds(self, prompts: list[str]) -> jnp.ndarray:
+        """[uncond; cond] CFG pair (reference: models/diffusion.py:72-89)."""
+        if not isinstance(prompts, (list, tuple)):
+            prompts = [prompts]
+        cond = self.m.text_encode(list(prompts))
+        uncond = self.m.text_encode([""] * len(prompts))
+        return jnp.concatenate([uncond, cond], axis=0)
+
+    # -- SDS ----------------------------------------------------------------
+    def sds_image_grad(
+        self,
+        key: jax.Array,
+        text_embeddings: jnp.ndarray,
+        pred_rgb: jnp.ndarray,
+        guidance_scale: float = 100.0,
+    ) -> jnp.ndarray:
+        """d(SDS)/d(pred_rgb). pred_rgb: [1, 3, H, W] in [0, 1].
+
+        Matches mannual_backward (reference: models/diffusion.py:92-149): the
+        eps-prediction runs under stop_gradient; the clamped latent-space
+        gradient is pulled back through VAE-encode and the bilinear resize.
+        """
+        S = self.m.image_size
+
+        def encode(img):
+            img512 = jax.image.resize(
+                img, (img.shape[0], 3, S, S), method="bilinear"
+            )
+            return self.m.vae_encode(img512)
+
+        latents, vjp_fn = jax.vjp(encode, pred_rgb)
+
+        k_t, k_noise = jax.random.split(key)
+        t = jax.random.randint(
+            k_t, (), self.schedule.min_step, self.schedule.max_step + 1
+        )
+        noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+        a_t = self.alphas[t]
+        latents_noisy = jnp.sqrt(a_t) * latents + jnp.sqrt(1.0 - a_t) * noise
+
+        lat2 = jnp.concatenate([latents_noisy] * 2, axis=0)
+        t2 = jnp.full((lat2.shape[0],), t, jnp.int32)
+        eps = jax.lax.stop_gradient(self.m.unet(lat2, t2, text_embeddings))
+        eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
+        eps_hat = eps_uncond + guidance_scale * (eps_text - eps_uncond)
+
+        w = 1.0 - a_t
+        grad_lat = jnp.clip(w * (eps_hat - noise), -1.0, 1.0)
+        (grad_img,) = vjp_fn(grad_lat.astype(latents.dtype))
+        return grad_img
+
+    # -- txt2img sampling (capability parity) --------------------------------
+    def produce_latents(
+        self,
+        key: jax.Array,
+        text_embeddings: jnp.ndarray,
+        height: int = 512,
+        width: int = 512,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        latents: jnp.ndarray | None = None,
+        latent_channels: int = 4,
+    ) -> jnp.ndarray:
+        """DDIM (eta=0) sampling loop (reference: models/diffusion.py:266-290
+        uses the PNDM scheduler; we use the deterministic DDIM update over the
+        same alphas, which shares the same fixed points)."""
+        f = self.m.latent_scale
+        B = text_embeddings.shape[0] // 2
+        if latents is None:
+            latents = jax.random.normal(
+                key, (B, latent_channels, height // f, width // f)
+            )
+
+        T = self.schedule.num_train_timesteps
+        step_ids = np.linspace(T - 1, 0, num_inference_steps).round().astype(np.int32)
+        alphas = self.schedule.alphas_cumprod
+
+        for i, t in enumerate(step_ids):
+            lat2 = jnp.concatenate([latents] * 2, axis=0)
+            t2 = jnp.full((lat2.shape[0],), int(t), jnp.int32)
+            eps = self.m.unet(lat2, t2, text_embeddings)
+            eps_u, eps_c = jnp.split(eps, 2, axis=0)
+            eps_hat = eps_u + guidance_scale * (eps_c - eps_u)
+
+            a_t = alphas[t]
+            a_prev = alphas[step_ids[i + 1]] if i + 1 < len(step_ids) else 1.0
+            x0 = (latents - jnp.sqrt(1 - a_t) * eps_hat) / jnp.sqrt(a_t)
+            latents = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1 - a_prev) * eps_hat
+        return latents
+
+
+def make_dummy_modules(
+    latent_channels: int = 4, image_size: int = 64, emb_dim: int = 32, seq_len: int = 8
+) -> GuidanceModules:
+    """Deterministic stand-in networks for tests and pipeline smoke runs."""
+
+    def unet(latents, t, text_emb):
+        # time + text conditioned pseudo-eps: deterministic, smooth, nonzero
+        t_feat = jnp.cos(t.astype(jnp.float32) / 100.0)[:, None, None, None]
+        txt = jnp.mean(text_emb, axis=(1, 2))[:, None, None, None]
+        return jnp.tanh(latents) * t_feat + 0.1 * txt
+
+    def vae_encode(images):
+        # strided average-pool "encoder": differentiable, shape-correct
+        B, C, H, W = images.shape
+        f = 8
+        lat = images.reshape(B, C, H // f, f, W // f, f).mean(axis=(3, 5))
+        lat = jnp.concatenate([lat, lat[:, :1]], axis=1)  # 3 -> 4 channels
+        return lat * 0.18215
+
+    def text_encode(prompts):
+        out = []
+        for p in prompts:
+            seed = abs(hash(p)) % (2**31)
+            out.append(jax.random.normal(jax.random.PRNGKey(seed), (seq_len, emb_dim)))
+        return jnp.stack(out)
+
+    return GuidanceModules(
+        unet=unet, vae_encode=vae_encode, text_encode=text_encode, image_size=image_size
+    )

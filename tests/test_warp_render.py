@@ -1,0 +1,79 @@
+"""calc_local_trans + warped frame rendering on the synthetic SMPL."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avatarcraft_tpu.constants import SMPL_SCALE
+from avatarcraft_tpu.data.amass import convert_amass_poses
+from avatarcraft_tpu.models.smpl import synthetic_smpl_params
+from avatarcraft_tpu.workloads.warp_render import calc_local_trans, da_pose
+
+MODEL = synthetic_smpl_params(0, n_verts=48, n_joints=24)
+
+
+def test_da_pose_layout():
+    p = da_pose(72).reshape(24, 3)
+    np.testing.assert_array_equal(p[1], [0, 0, 1.0])
+    np.testing.assert_array_equal(p[2], [0, 0, -1.0])
+    assert (p[3:] == 0).all() and (p[0] == 0).all()
+
+
+def test_convert_amass():
+    poses = np.random.default_rng(0).normal(size=(55, 156)).astype(np.float32)
+    seq = convert_amass_poses(poses, stride=10)
+    assert seq.shape == (6, 24, 3)
+    np.testing.assert_array_equal(seq[0].reshape(-1)[:63], poses[0, :63])
+    np.testing.assert_array_equal(seq[0].reshape(-1)[63:], 0)
+
+
+def test_animate_with_da_pose_is_pure_scale():
+    """Target pose == canonical da pose, beta=0 => T = I / SMPL_SCALE."""
+    da = da_pose(72).reshape(1, 24, 3)
+    world_verts, Ts, n = calc_local_trans(
+        MODEL, render_type="animate", poses=da, max_frames=1
+    )
+    assert n == 1
+    want = np.eye(4) / SMPL_SCALE
+    want[3, 3] = 1.0 / SMPL_SCALE  # the reference scales the full matrix
+    np.testing.assert_allclose(Ts[0], np.broadcast_to(want, Ts[0].shape), atol=1e-4)
+
+
+def test_interp_shape_endpoints_and_count():
+    world_verts, Ts, n = calc_local_trans(
+        MODEL, render_type="interp_shape", n_interp=10, max_frames=5
+    )
+    assert n == 5
+    assert len(world_verts) == 5 and len(Ts) == 5
+    assert world_verts[0].shape == (MODEL.n_verts, 3)
+    assert Ts[0].shape == (MODEL.n_verts + MODEL.n_joints, 4, 4)
+    # shape morphing moves the vertices between frames
+    assert not np.allclose(world_verts[0], world_verts[4], atol=1e-5)
+    for T in Ts:
+        assert np.isfinite(T).all()
+
+
+def test_animate_frames_track_pose_sequence(rng):
+    poses = rng.normal(scale=0.2, size=(3, 24, 3)).astype(np.float32)
+    world_verts, Ts, n = calc_local_trans(
+        MODEL, render_type="animate", poses=poses, max_frames=3
+    )
+    assert n == 3
+    # different poses -> different posed vertices
+    assert not np.allclose(world_verts[0], world_verts[1], atol=1e-5)
+    # The warp applies Ts^-1 to posed points without dehomogenizing
+    # (reference: utils/ray_utils.py:82); on the vertices themselves this must
+    # land exactly on the SMPL_SCALE-shrunk canonical rest mesh -- i.e. the
+    # coordinates the canonical field was trained in.
+    from avatarcraft_tpu.models.smpl import smpl_forward
+    from avatarcraft_tpu.workloads.warp_render import da_pose as dp
+
+    rest = np.asarray(
+        smpl_forward(MODEL, jnp.asarray(dp(72)), jnp.zeros((1, 10)))[0]
+    )
+    world_h = np.concatenate(
+        [world_verts[0], np.ones((MODEL.n_verts, 1), np.float32)], axis=-1
+    )
+    T_inv = np.linalg.inv(Ts[0][: MODEL.n_verts])
+    can = np.einsum("vij,vj->vi", T_inv, world_h)[:, :3]
+    np.testing.assert_allclose(can, SMPL_SCALE * rest, atol=1e-3)
