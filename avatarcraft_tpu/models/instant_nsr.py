@@ -32,6 +32,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from avatarcraft_tpu.ops.grid_encoder import (
+    PyramidSpec,
+    init_pyramid_params,
+    materialize_packed,
+    pyramid_encode,
+)
 from avatarcraft_tpu.ops.hash_encoder import HashGridSpec, hash_encode, init_hash_table
 from avatarcraft_tpu.ops.sampling import (
     near_far_from_bound,
@@ -43,9 +49,20 @@ from avatarcraft_tpu.ops.sh_encoder import sh_encode
 
 @dataclasses.dataclass(frozen=True)
 class FieldConfig:
-    """Network hyperparameters (reference: models/instant_nsr.py:479-494)."""
+    """Network hyperparameters (reference: models/instant_nsr.py:479-494).
+
+    ``encoder`` selects the spatial encoding:
+      * "hashgrid"    -- instant-NGP hash tables, bit-compatible with
+        reference checkpoints (slow path on TPU: 128 gathers/point);
+      * "tpu_pyramid" -- the TPU-native dense-pyramid + triplane encoder
+        (ops/grid_encoder.py; ~12 gathers/point). The flagship for training
+        from scratch on TPU.
+    """
 
     grid: HashGridSpec = HashGridSpec()
+    pyramid: PyramidSpec = PyramidSpec()
+    encoder: str = "hashgrid"
+    packed_dtype: str = "bfloat16"  # dtype of materialized pyramid tables
     num_layers: int = 2
     hidden_dim: int = 64
     geo_feat_dim: int = 15
@@ -57,8 +74,14 @@ class FieldConfig:
     variance_init: float = 0.3
 
     @property
+    def encoder_dim(self) -> int:
+        if self.encoder == "hashgrid":
+            return self.grid.output_dim
+        return self.pyramid.output_dim
+
+    @property
     def sdf_in_dim(self) -> int:
-        return self.grid.output_dim + (3 if self.include_input else 0)
+        return self.encoder_dim + (3 if self.include_input else 0)
 
     @property
     def color_in_dim(self) -> int:
@@ -137,12 +160,16 @@ def init_field_params(key: jax.Array, cfg: FieldConfig) -> dict:
         g = jnp.linalg.norm(v, axis=1)
         color_layers.append({"v": v.astype(jnp.float32), "g": g.astype(jnp.float32)})
 
-    return {
-        "table": init_hash_table(next(kit), cfg.grid),
+    params = {
         "sdf": sdf_layers,
         "color": color_layers,
         "variance": jnp.asarray(cfg.variance_init, jnp.float32),
     }
+    if cfg.encoder == "hashgrid":
+        params["table"] = init_hash_table(next(kit), cfg.grid)
+    else:
+        params.update(init_pyramid_params(next(kit), cfg.pyramid))
+    return params
 
 
 def _softplus100(x: jnp.ndarray) -> jnp.ndarray:
@@ -150,10 +177,33 @@ def _softplus100(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.softplus(x * 100.0) / 100.0
 
 
-def forward_sdf(params: dict, x: jnp.ndarray, cfg: FieldConfig, bound: float) -> jnp.ndarray:
-    """[N,3] -> [N, 1+geo_feat_dim]; h = [x, hash(x)] through the SDF MLP
+def encode_position(
+    params: dict, x: jnp.ndarray, cfg: FieldConfig, bound: float, packed: dict | None = None
+) -> jnp.ndarray:
+    """Spatial encoding through the configured encoder."""
+    if cfg.encoder == "hashgrid":
+        return hash_encode(params["table"], x, cfg.grid, size=bound)
+    if packed is None:
+        packed = materialize_field_tables(params, cfg)
+    return pyramid_encode(packed, x, cfg.pyramid, size=bound)
+
+
+def materialize_field_tables(params: dict, cfg: FieldConfig) -> dict | None:
+    """Build per-step packed lookup tables (pyramid encoder only). Call once
+    per render/train step and pass down via FieldFns; a no-op for hashgrid."""
+    if cfg.encoder == "hashgrid":
+        return None
+    packed = materialize_packed(params, cfg.pyramid)
+    dt = jnp.dtype(cfg.packed_dtype)
+    return jax.tree_util.tree_map(lambda t: t.astype(dt), packed)
+
+
+def forward_sdf(
+    params: dict, x: jnp.ndarray, cfg: FieldConfig, bound: float, packed: dict | None = None
+) -> jnp.ndarray:
+    """[N,3] -> [N, 1+geo_feat_dim]; h = [x, enc(x)] through the SDF MLP
     (reference: models/instant_nsr.py:627-642)."""
-    h = hash_encode(params["table"], x, cfg.grid, size=bound)
+    h = encode_position(params, x, cfg, bound, packed).astype(jnp.float32)
     if cfg.include_input:
         h = jnp.concatenate([x, h], axis=-1)
     n = len(params["sdf"])
@@ -339,8 +389,11 @@ class FieldFns:
 
 
 def network_field_fns(params: dict, fcfg: FieldConfig, bound: float) -> FieldFns:
+    # pyramid encoder: pack the lookup tables ONCE for all evaluations of
+    # this render/train step (coarse, upsample rounds, final + FD stencil)
+    packed = materialize_field_tables(params, fcfg)
     return FieldFns(
-        sdf=lambda x: forward_sdf(params, x, fcfg, bound),
+        sdf=lambda x: forward_sdf(params, x, fcfg, bound, packed),
         color=lambda x, d, n, f: forward_color(params, x, d, n, f, fcfg),
         inv_s=lambda: forward_variance(params),
     )

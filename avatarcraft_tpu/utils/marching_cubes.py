@@ -70,13 +70,25 @@ _TET_TRI_TABLE = {
 }
 
 
-def marching_cubes(field: np.ndarray, iso: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+def marching_cubes(
+    field: np.ndarray, iso: float = 0.0, prefer_native: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
     """Extract the iso-surface of ``field`` (shape [X, Y, Z]).
 
     Returns (vertices [V,3] in index coordinates, triangles [F,3] int32).
     Surface normals point toward the region where field > iso (matching
     ``mcubes.marching_cubes(-sdf, 0)`` conventions used by the reference).
+
+    Uses the multithreaded C++ extractor (native/mesh_extract.cpp) when it
+    builds/loads; this numpy path is the always-available fallback and the
+    semantic reference for both.
     """
+    if prefer_native:
+        from avatarcraft_tpu.utils.native import native_marching_cubes
+
+        out = native_marching_cubes(field, iso)
+        if out is not None:
+            return out
     f = np.asarray(field, np.float64)
     X, Y, Z = f.shape
     if min(X, Y, Z) < 2:
