@@ -668,6 +668,133 @@ def render_rays_chunked(
 
 
 # ---------------------------------------------------------------------------
+# Occupancy-grid fast path (makes the reference's dormant CUDA marcher real;
+# SURVEY.md 2.3 / build-plan step 7)
+# ---------------------------------------------------------------------------
+
+_TETRA_DIRS = np.array(
+    [[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]], dtype=np.float32
+)
+
+
+def sdf_tetra(
+    field: FieldFns, x: jnp.ndarray, bound: float, epsilon: float
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """4-tap tetrahedral stencil: (sdf [N,1], feat [N,F], grad [N,3]).
+
+    grad = sum_i v_i f(x + eps v_i) / (4 eps); sdf/features are the stencil
+    mean (O(eps^2) from the center value). 4 network evals instead of the
+    reference's 7 (central differences + center, models/instant_nsr.py:687-704).
+    """
+    N = x.shape[0]
+    dirs = jnp.asarray(_TETRA_DIRS)
+    pts = jnp.clip(x[None, :, :] + epsilon * dirs[:, None, :], -bound, bound)
+    out = field.sdf(pts.reshape(4 * N, 3)).reshape(4, N, -1)
+    sdf = out[..., :1].mean(axis=0)
+    feat = out[..., 1:].mean(axis=0)
+    grad = jnp.einsum("sc,sn->nc", dirs, out[..., 0]) / (4.0 * epsilon)
+    return sdf, feat, grad
+
+
+@dataclasses.dataclass(frozen=True)
+class FastRenderConfig:
+    """Occupancy-guided render: M uniform probes -> K field samples."""
+
+    n_probes: int = 192
+    k_samples: int = 32
+    bound: float = 1.6
+    fd_epsilon: float = 0.005
+    occ_threshold: float = 0.5  # fraction of grid mean used as cutoff
+    cos_anneal_ratio: float = 1.0
+
+
+def render_rays_fast(
+    params: dict,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    fcfg: FieldConfig,
+    cfg: FastRenderConfig,
+    density_grid: jnp.ndarray,
+    bg_color: jnp.ndarray | float = 1.0,
+    field: FieldFns | None = None,
+    near_far: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+) -> dict:
+    """Occupancy-culled NeuS render. Same compositing math as render_rays but
+    the network only runs on K grid-occupied samples per ray (static shapes;
+    the CUDA marcher's atomic compaction becomes top-K selection)."""
+    from avatarcraft_tpu.ops.occupancy import (
+        occupancy_lookup,
+        select_occupied_samples,
+    )
+
+    N = rays_o.shape[0]
+    bound = cfg.bound
+    if field is None:
+        field = network_field_fns(params, fcfg, bound)
+
+    near, far = near_far_from_bound(rays_o, rays_d, bound, kind="cube")
+    if near_far is not None:
+        ng, fg = near_far
+        near = jnp.where(jnp.isinf(ng), near, ng)
+        far = jnp.where(jnp.isinf(fg), far, fg)
+
+    # probe pass: cheap occupancy lookups, no network
+    t = jnp.linspace(0.0, 1.0, cfg.n_probes, dtype=rays_o.dtype)
+    z_probe = near + (far - near) * t[None, :]
+    p_probe = rays_o[:, None, :] + rays_d[:, None, :] * z_probe[..., None]
+    occ = occupancy_lookup(density_grid, p_probe, bound)
+    thresh = cfg.occ_threshold * jnp.mean(density_grid)
+
+    z_sel, valid = select_occupied_samples(z_probe, occ, cfg.k_samples, thresh)
+
+    # field pass on the K survivors
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_sel[..., None]
+    pts = jnp.clip(pts, -bound, bound)
+    flat = pts.reshape(-1, 3)
+    sdf, feat, grad = sdf_tetra(field, flat, bound, cfg.fd_epsilon)
+    normal = grad / (1e-5 + jnp.linalg.norm(grad, axis=-1, keepdims=True))
+    dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape).reshape(-1, 3)
+    color = field.color(flat, dirs, normal, feat)
+    inv_s = field.inv_s()
+
+    deltas = jnp.concatenate(
+        [z_sel[:, 1:] - z_sel[:, :-1], (far - near) / cfg.n_probes], axis=-1
+    )
+    true_cos = jnp.sum(dirs * normal, axis=-1, keepdims=True)
+    iter_cos = -(
+        _softplus100(-true_cos * 0.5 + 0.5) * (1.0 - cfg.cos_anneal_ratio)
+        + _softplus100(-true_cos) * cfg.cos_anneal_ratio
+    )
+    fd = deltas.reshape(-1, 1)
+    prev_cdf = jax.nn.sigmoid((sdf - iter_cos * fd * 0.5) * inv_s)
+    next_cdf = jax.nn.sigmoid((sdf + iter_cos * fd * 0.5) * inv_s)
+    alpha = jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0)
+    alpha = alpha.reshape(N, cfg.k_samples) * valid.astype(alpha.dtype)
+
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones((N, 1), alpha.dtype), 1.0 - alpha + 1e-7], axis=-1),
+        axis=-1,
+    )[:, :-1]
+    weights = alpha * trans
+    weights_sum = weights.sum(axis=-1, keepdims=True)
+
+    color = color.reshape(N, cfg.k_samples, 3)
+    image = (color * weights[:, :, None]).sum(axis=1)
+    normal_map = (normal.reshape(N, cfg.k_samples, 3) * weights[:, :, None]).sum(axis=1)
+    depth = jnp.sum(weights * jnp.clip((z_sel - near) / (far - near), 0, 1), axis=-1)
+
+    bg = bg_color if not isinstance(bg_color, (int, float)) else jnp.asarray(bg_color)
+    image = image + (1.0 - weights_sum) * bg
+    return {
+        "rgb": image,
+        "depth": depth,
+        "weights": weights,
+        "weight_sum": weights_sum,
+        "normal": normal_map,
+    }
+
+
+# ---------------------------------------------------------------------------
 # Geometry extraction (reference: models/instant_nsr.py:706-764)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,114 @@
+"""Occupancy (density) grid: maintenance + static-shape sample culling.
+
+The reference ships an instant-NGP CUDA ray marcher against a 129^3 density
+grid that is DORMANT (constructed with cuda_ray=False and missing run_cuda;
+SURVEY.md 2.3). This module makes the capability real, TPU-style:
+
+* :func:`update_density_grid` -- the reference's grid refresh semantics
+  (logistic density from SDF at inv_s=512, 2x maxpool smoothing, EMA-max
+  decay 0.95; reference: models/instant_nsr.py:303-356) as one jitted program;
+* :func:`select_occupied_samples` -- the static-shape replacement for the
+  CUDA marcher's atomic compaction: probe M uniform samples per ray against
+  the grid, keep the top-K occupied (z-ordered), mask the rest. Rays keep a
+  fixed [K] sample budget so XLA sees static shapes; empty rays composite to
+  background through the mask exactly like the reference's alpha masking.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def density_from_sdf(sdf: jnp.ndarray, inv_s: float = 512.0) -> jnp.ndarray:
+    """Logistic density of NeuS (reference: models/instant_nsr.py:332-338).
+
+    = inv_s * sigmoid(-inv_s * sdf) computed in the numerically-stable
+    two-branch form the reference uses."""
+    return inv_s * jax.nn.sigmoid(-inv_s * sdf)
+
+
+def update_density_grid(
+    sdf_fn,
+    grid: jnp.ndarray,
+    bound: float,
+    *,
+    decay: float = 0.95,
+    inv_s: float = 512.0,
+    block: int = 1,
+) -> jnp.ndarray:
+    """Refresh a [R,R,R] density grid from the SDF and EMA-max with decay.
+
+    ``sdf_fn``: [N,3] -> [N] SDF values (pass a packed-table closure).
+    Evaluates the full lattice in ``block`` x-slabs via lax.map.
+    """
+    R = grid.shape[0]
+    xs = jnp.linspace(-bound, bound, R)
+
+    def slab(x_idx):
+        gx = jnp.broadcast_to(xs[x_idx][:, None, None], (block, R, R))
+        gy = jnp.broadcast_to(xs[None, :, None], (block, R, R))
+        gz = jnp.broadcast_to(xs[None, None, :], (block, R, R))
+        pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+        sdf = sdf_fn(pts)
+        return density_from_sdf(sdf, inv_s).reshape(block, R, R)
+
+    assert R % block == 0
+    idx = jnp.arange(R).reshape(R // block, block)
+    new = jax.lax.map(slab, idx).reshape(R, R, R)
+
+    # 2x maxpool smoothing with edge padding (models/instant_nsr.py:342-343)
+    p = jnp.pad(new, ((0, 1), (0, 1), (0, 1)), mode="edge")
+    pooled = jnp.maximum(
+        jnp.maximum(
+            jnp.maximum(p[:-1, :-1, :-1], p[1:, :-1, :-1]),
+            jnp.maximum(p[:-1, 1:, :-1], p[1:, 1:, :-1]),
+        ),
+        jnp.maximum(
+            jnp.maximum(p[:-1, :-1, 1:], p[1:, :-1, 1:]),
+            jnp.maximum(p[:-1, 1:, 1:], p[1:, 1:, 1:]),
+        ),
+    )
+    return jnp.maximum(grid * decay, pooled)
+
+
+def init_density_grid(resolution: int = 129) -> jnp.ndarray:
+    """Zeros [R,R,R] (reference: models/instant_nsr.py:102)."""
+    return jnp.zeros((resolution,) * 3, jnp.float32)
+
+
+def occupancy_lookup(grid: jnp.ndarray, pts: jnp.ndarray, bound: float) -> jnp.ndarray:
+    """Nearest-cell density at pts ([..., 3] in [-bound, bound]) -> [...]."""
+    R = grid.shape[0]
+    x01 = jnp.clip((pts + bound) / (2 * bound), 0.0, 1.0)
+    idx = jnp.clip(jnp.round(x01 * (R - 1)).astype(jnp.int32), 0, R - 1)
+    flat = (idx[..., 0] * R + idx[..., 1]) * R + idx[..., 2]
+    return jnp.take(grid.reshape(-1), flat.reshape(-1)).reshape(pts.shape[:-1])
+
+
+def select_occupied_samples(
+    z_vals: jnp.ndarray,  # [N, M] probe depths
+    occ: jnp.ndarray,  # [N, M] densities at the probes
+    k: int,
+    threshold: jnp.ndarray | float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Keep the k nearest occupied probes per ray, z-ordered.
+
+    Returns (z_sel [N,k], valid [N,k] bool). Rays with fewer than k occupied
+    probes get their remaining slots masked invalid; rays with more keep the
+    k NEAREST (front-to-back, matching the early-termination bias of the
+    reference CUDA marcher).
+    """
+    N, M = z_vals.shape
+    occupied = occ > threshold
+    # score: occupied probes first, then by depth (near first)
+    big = jnp.float32(1e9)
+    score = jnp.where(occupied, z_vals, big + z_vals)
+    order = jnp.argsort(score, axis=-1)[:, :k]
+    z_sel = jnp.take_along_axis(z_vals, order, axis=-1)
+    valid = jnp.take_along_axis(occupied, order, axis=-1)
+    # restore front-to-back order among the selected
+    z_sorted_idx = jnp.argsort(jnp.where(valid, z_sel, big), axis=-1)
+    z_sel = jnp.take_along_axis(z_sel, z_sorted_idx, axis=-1)
+    valid = jnp.take_along_axis(valid, z_sorted_idx, axis=-1)
+    return z_sel, valid

@@ -1,0 +1,127 @@
+"""Occupancy grid + fast render path vs the full renderer on the analytic sphere."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avatarcraft_tpu.models.instant_nsr import (
+    FastRenderConfig,
+    RenderConfig,
+    render_rays,
+    render_rays_fast,
+    sdf_tetra,
+)
+from avatarcraft_tpu.ops.occupancy import (
+    density_from_sdf,
+    init_density_grid,
+    occupancy_lookup,
+    select_occupied_samples,
+    update_density_grid,
+)
+from tests.test_render_core import SMALL_FIELD, sphere_field
+
+
+def sphere_sdf_fn(x):
+    return jnp.linalg.norm(x, axis=-1) - 0.5
+
+
+def test_density_from_sdf_profile():
+    s = jnp.asarray([-0.1, 0.0, 0.004, 0.1])
+    d = np.asarray(density_from_sdf(s, inv_s=512.0))
+    assert d[0] > 500  # deep inside: ~inv_s
+    np.testing.assert_allclose(d[1], 256.0, rtol=1e-5)  # surface: inv_s/2
+    assert d[3] < 1e-15  # far outside: ~0
+
+
+def test_update_density_grid_marks_sphere():
+    grid = init_density_grid(33)
+    grid = update_density_grid(sphere_sdf_fn, grid, bound=1.6, block=1)
+    g = np.asarray(grid)
+    xs = np.linspace(-1.6, 1.6, 33)
+    gx, gy, gz = np.meshgrid(xs, xs, xs, indexing="ij")
+    r = np.sqrt(gx**2 + gy**2 + gz**2)
+    inside = g[r < 0.4]
+    outside = g[r > 0.8]
+    assert inside.min() > 100
+    assert outside.max() < 1.0
+    # EMA: a second update with decay keeps occupied cells hot
+    grid2 = update_density_grid(sphere_sdf_fn, grid, bound=1.6)
+    assert np.asarray(grid2)[r < 0.4].min() > 100
+
+
+def test_occupancy_lookup_nearest_cell():
+    grid = jnp.zeros((17, 17, 17)).at[8, 8, 8].set(7.0)
+    pts = jnp.asarray([[0.0, 0.0, 0.0], [1.5, 1.5, 1.5], [0.05, -0.05, 0.0]])
+    occ = np.asarray(occupancy_lookup(grid, pts, bound=1.6))
+    assert occ[0] == 7.0
+    assert occ[1] == 0.0
+    assert occ[2] == 7.0  # rounds to the center cell (cell size 0.2)
+
+
+def test_select_occupied_front_to_back():
+    z = jnp.asarray([[1.0, 2.0, 3.0, 4.0, 5.0, 6.0]])
+    occ = jnp.asarray([[0.0, 9.0, 0.0, 9.0, 9.0, 9.0]])
+    z_sel, valid = select_occupied_samples(z, occ, k=3, threshold=1.0)
+    np.testing.assert_array_equal(np.asarray(z_sel)[0], [2.0, 4.0, 5.0])
+    assert np.asarray(valid).all()
+    # fewer occupied than k: mask tail
+    occ2 = jnp.asarray([[0.0, 9.0, 0.0, 0.0, 0.0, 0.0]])
+    z2, v2 = select_occupied_samples(z, occ2, k=3, threshold=1.0)
+    assert np.asarray(v2)[0].tolist() == [True, False, False]
+    assert float(z2[0, 0]) == 2.0
+
+
+def test_sdf_tetra_gradient_on_sphere(rng):
+    field = sphere_field(0.5)
+    x = jnp.asarray(rng.normal(size=(32, 3)).astype(np.float32))
+    x = x / jnp.linalg.norm(x, axis=-1, keepdims=True) * 0.8
+    sdf, feat, grad = sdf_tetra(field, x, bound=1.6, epsilon=0.005)
+    np.testing.assert_allclose(np.asarray(sdf)[:, 0], 0.3, atol=1e-3)
+    # gradient of |x| - r is x/|x|
+    want = np.asarray(x / jnp.linalg.norm(x, axis=-1, keepdims=True))
+    np.testing.assert_allclose(np.asarray(grad), want, atol=5e-3)
+
+
+def test_fast_render_matches_full_on_sphere():
+    # build the density grid from the analytic sphere
+    grid = update_density_grid(sphere_sdf_fn, init_density_grid(65), bound=1.6)
+
+    n = 6
+    angles = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    offs = 0.25 * np.stack([np.cos(angles), np.sin(angles)], -1)
+    rays_o = jnp.asarray(
+        np.concatenate([offs, np.full((n, 1), -2.0)], -1), jnp.float32
+    )
+    d = -np.concatenate([offs, np.full((n, 1), -2.0)], -1)
+    rays_d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+
+    field = sphere_field(0.5, rgb=(0.9, 0.4, 0.2))
+    full = render_rays(
+        {}, rays_o, rays_d, jax.random.PRNGKey(0), SMALL_FIELD,
+        RenderConfig(num_steps=64, upsample_steps=64), bg_color=0.0, field=field,
+    )
+    fast = render_rays_fast(
+        {}, rays_o, rays_d, SMALL_FIELD,
+        FastRenderConfig(n_probes=128, k_samples=24),
+        grid, bg_color=0.0, field=field,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast["rgb"]), np.asarray(full["rgb"]), atol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast["weight_sum"]), np.asarray(full["weight_sum"]), atol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast["depth"]), np.asarray(full["depth"]), atol=0.03
+    )
+
+
+def test_fast_render_miss_rays_background():
+    grid = update_density_grid(sphere_sdf_fn, init_density_grid(65), bound=1.6)
+    rays_o = jnp.asarray([[1.4, 0.0, -2.0]])
+    rays_d = jnp.asarray([[0.0, 0.0, 1.0]])
+    out = render_rays_fast(
+        {}, rays_o, rays_d, SMALL_FIELD, FastRenderConfig(),
+        grid, bg_color=jnp.asarray([[0.1, 0.2, 0.3]]), field=sphere_field(0.5),
+    )
+    np.testing.assert_allclose(np.asarray(out["rgb"][0]), [0.1, 0.2, 0.3], atol=0.01)
