@@ -63,15 +63,19 @@ def pose2rays(h: int, w: int, c2w) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def dataset_rays(
-    pose, K, h: int, w: int, resolution_level: int = 1
+    pose, K, h: int, w: int, resolution_level: int = 1, out_hw: tuple[int, int] | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """SMPLDataset.gen_rays_pose convention (utils/SMPLDataset.py:86-103).
 
     Pixel grid sampled with linspace(0, W-1, W//l); dirs are
     normalize([(x-cx)/fx, -(y-cy)/fy, -1]) rotated by pose[:3,:3].
+    ``out_hw`` overrides the sample-grid size explicitly.
     Returns (rays_o [hw, 3], rays_d [hw, 3]).
     """
-    lh, lw = int(h // resolution_level), int(w // resolution_level)
+    if out_hw is not None:
+        lh, lw = out_hw
+    else:
+        lh, lw = int(h // resolution_level), int(w // resolution_level)
     tx = jnp.linspace(0.0, w - 1, lw)
     ty = jnp.linspace(0.0, h - 1, lh)
     px, py = jnp.meshgrid(tx, ty, indexing="xy")  # [lh, lw]

@@ -72,3 +72,65 @@ class SMPLMultiviewDataset:
         """Host-side gather of ground-truth rgb for a ray batch. [M,3]."""
         flat = self.images.reshape(self.n_images, -1, 3)
         return flat[view_idx, pix_idx]
+
+    def gen_random_rays_at(self, idx: int, batch_size: int, rng=None):
+        """Random pixels of one view -> (rays_o, rays_d, rgb, mask)
+        (reference: utils/SMPLDataset.py:128-147)."""
+        rng = rng or np.random.default_rng()
+        px = rng.integers(0, self.W, batch_size)
+        py = rng.integers(0, self.H, batch_size)
+        rgb = self.images[idx][py, px]
+        mask = self.masks[idx][py, px]
+        import jax.numpy as jnp
+
+        K, pose = self.K, self.poses[idx]
+        p = np.stack(
+            [
+                (px - K[0, 2]) / K[0, 0],
+                -(py - K[1, 2]) / K[1, 1],
+                -np.ones_like(px, np.float32),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        v = p / np.linalg.norm(p, axis=-1, keepdims=True)
+        rays_d = v @ pose[:3, :3].T
+        rays_o = np.broadcast_to(pose[:3, 3], rays_d.shape)
+        return (
+            jnp.asarray(rays_o),
+            jnp.asarray(rays_d),
+            jnp.asarray(rgb),
+            jnp.asarray(mask),
+        )
+
+    def gen_rays_silhouettes(self, pose, max_ray_num: int, mask: np.ndarray):
+        """Rays restricted to a dilated subject silhouette
+        (reference: utils/SMPLDataset.py:58-84). Returns
+        (rays_o, rays_d, side, keep_mask) where side is the sampled square
+        resolution."""
+        from scipy import ndimage
+
+        if mask.sum() == 0:
+            ro, rd = self.gen_rays_pose(pose, resolution_level=4)
+            side = self.H // 4
+            return ro, rd, side, np.ones((side, side), bool)
+        struct = ndimage.generate_binary_structure(2, 2)
+        dilated = ndimage.binary_dilation(mask, structure=struct, iterations=10)
+        ratio = dilated.sum() / float(mask.shape[0] * mask.shape[1])
+        side = min(self.H, int(np.sqrt(max_ray_num / max(ratio, 1e-6))))
+        ro, rd = dataset_rays(pose, self.K, self.H, self.W, out_hw=(side, side))
+        # resize the dilated mask to the sampled square
+        ys = (np.linspace(0, mask.shape[0] - 1, side)).astype(int)
+        xs = (np.linspace(0, mask.shape[1] - 1, side)).astype(int)
+        keep = dilated[np.ix_(ys, xs)] > 0
+        flat = keep.reshape(-1)
+        return ro[flat], rd[flat], side, keep
+
+    def near_far_from_sphere(self, rays_o, rays_d):
+        """Unit-sphere chord bounds (reference: utils/SMPLDataset.py:149-160)."""
+        import jax.numpy as jnp
+
+        a = jnp.sum(rays_d**2, axis=-1, keepdims=True)
+        b = 2.0 * jnp.sum(rays_o * rays_d, axis=-1, keepdims=True)
+        mid = 0.5 * (-b) / a
+        near = jnp.maximum(mid - 1.0, 0.0)
+        return near, mid + 1.0

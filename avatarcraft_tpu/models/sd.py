@@ -394,6 +394,71 @@ def vae_encode_apply(params: dict, cfg: VAEConfig, images: jnp.ndarray) -> jnp.n
     return mean.transpose(0, 3, 1, 2) * cfg.scaling_factor
 
 
+def init_vae_decoder_params(key: jax.Array, cfg: VAEConfig) -> dict:
+    """Decoder half (for txt2img / latent visualization;
+    reference: models/diffusion.py:292-312 decode_latents)."""
+    keys = iter(jax.random.split(key, 128))
+    ch = tuple(reversed(cfg.block_out_channels))
+    params = {
+        "post_quant_conv": _he_conv(next(keys), 1, 1, cfg.latent_channels, cfg.latent_channels),
+        "conv_in": _he_conv(next(keys), 3, 3, cfg.latent_channels, ch[0]),
+        "mid": {
+            "res1": _init_resnet(next(keys), ch[0], ch[0], temb_dim=4),
+            "attn": {
+                "norm": _norm_init(ch[0]),
+                "to_q": _he_linear(next(keys), ch[0], ch[0]),
+                "to_k": _he_linear(next(keys), ch[0], ch[0]),
+                "to_v": _he_linear(next(keys), ch[0], ch[0]),
+                "to_out": _he_linear(next(keys), ch[0], ch[0]),
+            },
+            "res2": _init_resnet(next(keys), ch[0], ch[0], temb_dim=4),
+        },
+        "up": [],
+        "norm_out": _norm_init(ch[-1]),
+        "conv_out": _he_conv(next(keys), 3, 3, ch[-1], cfg.in_channels),
+    }
+    cin = ch[0]
+    for i, cout in enumerate(ch):
+        block = {"resnets": [], "up": None}
+        for _ in range(cfg.layers_per_block + 1):
+            block["resnets"].append(_init_resnet(next(keys), cin, cout, temb_dim=4))
+            cin = cout
+        if i < len(ch) - 1:
+            block["up"] = _he_conv(next(keys), 3, 3, cout, cout)
+        params["up"].append(block)
+    return params
+
+
+def vae_decode_apply(params: dict, cfg: VAEConfig, latents: jnp.ndarray) -> jnp.ndarray:
+    """latents [B, C, h, w] (scaled) -> images [B, 3, H, W] in [0, 1]."""
+    g = cfg.norm_groups
+    z = (latents / cfg.scaling_factor).transpose(0, 2, 3, 1)
+    h = conv2d(params["post_quant_conv"], z, padding=0)
+    h = conv2d(params["conv_in"], h)
+    h = _vae_resnet(params["mid"]["res1"], h, g)
+    B, H, W, C = h.shape
+    a = group_norm(params["mid"]["attn"]["norm"], h, g).reshape(B, H * W, C)
+    a = attention(
+        linear(params["mid"]["attn"]["to_q"], a),
+        linear(params["mid"]["attn"]["to_k"], a),
+        linear(params["mid"]["attn"]["to_v"], a),
+        heads=1,
+    )
+    h = h + linear(params["mid"]["attn"]["to_out"], a).reshape(B, H, W, C)
+    h = _vae_resnet(params["mid"]["res2"], h, g)
+    for block in params["up"]:
+        for res in block["resnets"]:
+            h = _vae_resnet(res, h, g)
+        if block["up"] is not None:
+            B, H, W, C = h.shape
+            h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
+            h = conv2d(block["up"], h)
+    h = jax.nn.silu(group_norm(params["norm_out"], h, g))
+    h = conv2d(params["conv_out"], h)
+    img = (h.transpose(0, 3, 1, 2) + 1.0) / 2.0
+    return jnp.clip(img, 0.0, 1.0)
+
+
 # ---------------------------------------------------------------------------
 # CLIP text encoder
 # ---------------------------------------------------------------------------
