@@ -1,0 +1,114 @@
+"""Pallas ring collectives over ICI.
+
+The reference has no distributed layer at all; the TPU framework's model
+parallelism for large lookup tables (the pyramid's fine planes / the NGP hash
+table) shards rows across the mesh and reassembles them with a **ring
+all-gather written in Pallas** — chunks travel neighbor-to-neighbor over ICI
+via async remote DMA, overlapping with local copies, instead of going through
+a host or DCN.
+
+``ring_all_gather`` is the Pallas kernel (used under shard_map);
+``all_gather_table`` is the high-level helper with an XLA-collective fallback
+(`jax.lax.all_gather`) for platforms where the Pallas path is unavailable
+(CPU test meshes, interpret mode quirks).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _ring_all_gather_kernel(
+    local_ref, out_ref, comm_buf, send_sem, recv_sem, *, axis_name: str
+):
+    """Each device contributes its [S, F] shard; out is [n, S, F].
+
+    Unidirectional ring: at step k, forward the chunk received at step k-1 to
+    the right neighbor while depositing it locally.
+    """
+    n = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+
+    # deposit own shard
+    out_ref[me] = local_ref[:]
+    comm_buf[0] = local_ref[:]
+
+    def step(k, _):
+        send_slot = k % 2
+        recv_slot = (k + 1) % 2
+        dst = jax.lax.rem(me + 1, n)
+        rdma = pltpu.make_async_remote_copy(
+            src_ref=comm_buf.at[send_slot],
+            dst_ref=comm_buf.at[recv_slot],
+            send_sem=send_sem.at[send_slot],
+            recv_sem=recv_sem.at[recv_slot],
+            device_id=(dst,),
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        rdma.start()
+        rdma.wait()
+        src_device = jax.lax.rem(me - k - 1 + 2 * n, n)
+        out_ref[src_device] = comm_buf[recv_slot]
+        return 0
+
+    jax.lax.fori_loop(0, n - 1, step, 0)
+
+
+def ring_all_gather(x: jnp.ndarray, axis_name: str, *, interpret: bool = False) -> jnp.ndarray:
+    """All-gather [S, F] shards into [n*S, F] via a Pallas ICI ring.
+
+    Must run inside shard_map over a 1-D mesh axis ``axis_name``.
+    """
+    n = jax.lax.axis_size(axis_name)
+    S, F = x.shape
+
+    out = pl.pallas_call(
+        functools.partial(_ring_all_gather_kernel, axis_name=axis_name),
+        out_shape=jax.ShapeDtypeStruct((n, S, F), x.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, S, F), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=7
+        ),
+        interpret=interpret,
+    )(x)
+    return out.reshape(n * S, F)
+
+
+def all_gather_table(
+    table: jnp.ndarray, mesh: Mesh, *, use_pallas: bool | None = None
+) -> jnp.ndarray:
+    """Reassemble a row-sharded table on every device.
+
+    table: global [T, F] array sharded as P(axis, None) over ``mesh``.
+    Returns the fully-replicated table. Uses the Pallas ring on TPU meshes
+    with >1 device; falls back to lax.all_gather elsewhere.
+    """
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    if use_pallas is None:
+        use_pallas = n > 1 and mesh.devices.flatten()[0].platform == "tpu"
+
+    def gather(shard):
+        if use_pallas:
+            return ring_all_gather(shard, axis)
+        return jax.lax.all_gather(shard, axis, axis=0).reshape(-1, shard.shape[-1])
+
+    return jax.shard_map(
+        gather,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=P(),
+        check_vma=False,  # output replication is by construction (all-gather)
+    )(table)
