@@ -101,14 +101,12 @@ def select_occupied_samples(
     """
     N, M = z_vals.shape
     occupied = occ > threshold
-    # score: occupied probes first, then by depth (near first)
+    # score: occupied probes first, then by depth (near first). top_k of the
+    # negated score returns ascending scores => already front-to-back among
+    # the occupied probes (every occupied score < every empty score).
     big = jnp.float32(1e9)
     score = jnp.where(occupied, z_vals, big + z_vals)
-    order = jnp.argsort(score, axis=-1)[:, :k]
+    neg_top, order = jax.lax.top_k(-score, k)  # [N, k]
     z_sel = jnp.take_along_axis(z_vals, order, axis=-1)
-    valid = jnp.take_along_axis(occupied, order, axis=-1)
-    # restore front-to-back order among the selected
-    z_sorted_idx = jnp.argsort(jnp.where(valid, z_sel, big), axis=-1)
-    z_sel = jnp.take_along_axis(z_sel, z_sorted_idx, axis=-1)
-    valid = jnp.take_along_axis(valid, z_sorted_idx, axis=-1)
+    valid = -neg_top < big
     return z_sel, valid
