@@ -171,6 +171,24 @@ def _shard_batch_arrays(mesh, *arrays):
     )
 
 
+def save_train_state(path: str, params, opt_state, step: int) -> None:
+    """Full resumable state (params + optimizer moments + step). The
+    reference only saves params (SURVEY.md §5: optimizer state is lost on
+    resume); orbax-native state checkpoints fix that."""
+    from avatarcraft_tpu.utils.checkpoint import save_checkpoint
+
+    save_checkpoint(
+        path,
+        {"params": jax.device_get(params), "opt_state": jax.device_get(opt_state), "step": step},
+    )
+
+
+def load_train_state(path: str, like: dict) -> dict:
+    from avatarcraft_tpu.utils.checkpoint import load_checkpoint
+
+    return load_checkpoint(path, like)
+
+
 def train(
     dataset: SMPLMultiviewDataset,
     fcfg: FieldConfig,
@@ -180,15 +198,26 @@ def train(
     max_steps: int | None = None,
     log_every: int = 20,
     callbacks: dict | None = None,
+    resume_from: str | None = None,
 ) -> tuple[dict, dict]:
     """Run the reconstruction loop. Returns (params, stats).
 
     ``callbacks``: optional {"on_step": fn(step, params, loss)} hooks used by
-    the CLI for image/weights/mesh logging.
+    the CLI for image/weights/mesh logging. ``resume_from``: orbax train-state
+    dir to continue from (params + optimizer moments).
     """
     mesh, params, opt_state, step_fn, poses, batch_shard, steps_per_epoch = setup(
         dataset, fcfg, rcfg, cfg
     )
+    if resume_from is not None:
+        state = load_train_state(
+            resume_from,
+            {"params": jax.device_get(params), "opt_state": jax.device_get(opt_state), "step": 0},
+        )
+        from avatarcraft_tpu.parallel.mesh import replicate
+
+        params = replicate(mesh, state["params"])
+        opt_state = replicate(mesh, state["opt_state"])
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
 
