@@ -1,0 +1,189 @@
+"""Multi-prompt batched avatar creation.
+
+BASELINE.json config 5 asks for multi-prompt batched creation: several
+avatars (one per text prompt) created in a single run. TPU-idiomatically this
+is a **vmap over the prompt axis**: the style-field parameters are stacked
+[P, ...], every render/grad step is vmapped over that axis (so the MXU sees
+P-fold larger batches), and the UNet evaluates all prompts' CFG pairs in one
+[2P] batch. On a multi-chip mesh the prompt axis can additionally be sharded
+(each chip creates different avatars) — params stay small enough that either
+layout works.
+
+The reference can only create one avatar per process (stylize.py trains a
+single net_style).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from avatarcraft_tpu.models.diffusion import SDSGuidance
+from avatarcraft_tpu.models.instant_nsr import FieldConfig
+from avatarcraft_tpu.workloads.stylize import StylizeConfig, make_phaseA_render
+
+
+def stack_params(params_list: list[dict]) -> dict:
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
+
+
+def unstack_params(stacked: dict, n: int) -> list[dict]:
+    return [
+        jax.tree_util.tree_map(lambda x: x[i], stacked) for i in range(n)
+    ]
+
+
+@dataclasses.dataclass
+class MultiPromptTrainer:
+    """Train P style fields against P prompts simultaneously."""
+
+    cfg: StylizeConfig
+    fcfg: FieldConfig
+    guidance: SDSGuidance
+    prompts: list[str]
+    params_style: dict  # stacked [P, ...]
+    params_gt: dict  # single (shared canonical field)
+
+    def __post_init__(self):
+        c = self.cfg
+        from avatarcraft_tpu.models.instant_nsr import RenderConfig
+        from avatarcraft_tpu.constants import NSR_BOUND
+
+        self.P = len(self.prompts)
+        self.rcfg = RenderConfig(
+            num_steps=64, upsample_steps=64, bound=NSR_BOUND, perturb=True
+        )
+        self.tx = optax.adam(c.lr)
+        self.opt_state = self.tx.init(self.params_style)
+        self.rng = np.random.default_rng(c.seed)
+        self.key = jax.random.PRNGKey(c.seed)
+        self._phaseA = {}
+        # text embeddings stacked [P, 2, L, D]
+        self.text_embs = jnp.stack(
+            [self.guidance.get_text_embeds([p]) for p in self.prompts]
+        )
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def train_view(self, pose: np.ndarray, epoch: int):
+        """One optimizer step updating ALL prompts' fields on a shared view."""
+        from avatarcraft_tpu.cameras import pose2rays
+        from avatarcraft_tpu.cameras.rays import sparse_ray_sampling
+        from avatarcraft_tpu.utils.background import select_background
+        from avatarcraft_tpu.workloads.stylize import make_phaseA_render
+        from avatarcraft_tpu.constants import WHITE_BKG
+
+        c = self.cfg
+        stride = c.subsample_scale if epoch < c.coarse_epochs else min(1, c.subsample_scale // 2)
+        rays_o, rays_d = pose2rays(c.H, c.W, pose)
+        rays_o = rays_o.reshape(c.H, c.W, 3)
+        rays_d = rays_d.reshape(c.H, c.W, 3)
+        rays_o, rays_d = sparse_ray_sampling(rays_o, rays_d, stride, self.rng)
+        th, tw = rays_o.shape[:2]
+        rays_o, rays_d = rays_o.reshape(-1, 3), rays_d.reshape(-1, 3)
+        n_rays = th * tw
+        bg = select_background(n_rays, WHITE_BKG)
+
+        # phase A vmapped over the prompt axis
+        chunk = min(c.batch_size, n_rays)
+        if (n_rays, chunk) not in self._phaseA:
+            phaseA = make_phaseA_render(self.fcfg, self.rcfg, chunk)
+            self._phaseA[(n_rays, chunk)] = jax.jit(
+                jax.vmap(phaseA, in_axes=(0, None, None, None, 0))
+            )
+        keysA = jax.random.split(self._next_key(), self.P)
+        rgb = self._phaseA[(n_rays, chunk)](
+            self.params_style, rays_o, rays_d, bg, keysA
+        )  # [P, n_rays, 3]
+
+        imgs = rgb.reshape(self.P, th, tw, 3).transpose(0, 3, 1, 2)[:, None]
+        keysG = jax.random.split(self._next_key(), self.P)
+        g_imgs = jax.vmap(
+            lambda k, e, im: self.guidance.sds_image_grad(k, e, im, c.guidance_scale)
+        )(keysG, self.text_embs, imgs)
+        g_rgb = g_imgs[:, 0].transpose(0, 2, 3, 1).reshape(self.P, -1, 3)
+
+        # phase B: vmapped gradient accumulation, one Adam step on the stack
+        keysB = jax.random.split(self._next_key(), self.P)
+        grads = jax.vmap(
+            lambda p, g, k: _phaseB_grads(
+                p, self.params_gt, rays_o, rays_d, g, bg, k, self.fcfg, self.rcfg, c
+            )
+        )(self.params_style, g_rgb, keysB)
+        updates, self.opt_state = self.tx.update(grads, self.opt_state, self.params_style)
+        self.params_style = optax.apply_updates(self.params_style, updates)
+
+    def train(self, max_steps: int | None = None):
+        from avatarcraft_tpu.cameras import style_360_path
+        from avatarcraft_tpu.constants import (
+            CAN_HEAD_CAMERA_DIST,
+            CAN_HEAD_OFFSET,
+            CANONICAL_CAMERA_DIST_TRAIN,
+        )
+
+        c = self.cfg
+        step = 0
+        for epoch in range(c.coarse_epochs + c.fine_epochs):
+            head_rate = c.coarse_head if epoch < c.coarse_epochs else c.fine_head
+            poses, _ = style_360_path(
+                np.zeros(3), np.array([0.0, 1.0, 0.0]), CANONICAL_CAMERA_DIST_TRAIN,
+                c.n_cap, add_noise=c.augment_cam, style_head=c.stylize_head,
+                head_offset=CAN_HEAD_OFFSET, head_rate=head_rate,
+                head_dist=CAN_HEAD_CAMERA_DIST, rng=self.rng,
+            )
+            for i in self.rng.permutation(len(poses)):
+                self.train_view(poses[i], epoch)
+                step += 1
+                if max_steps is not None and step >= max_steps:
+                    return step
+        return step
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9))
+def _phaseB_grads(params, params_gt, rays_o, rays_d, g_rgb, bg, key, fcfg, rcfg, cfg):
+    """Accumulated phase-B gradients for one prompt (jitted, vmap-compatible)."""
+    from avatarcraft_tpu.models.instant_nsr import render_rays
+
+    chunk = min(cfg.batch_size, rays_o.shape[0])
+    n = rays_o.shape[0]
+    n_patches = n // chunk
+    keys = jax.random.split(key, n_patches)
+
+    def patch_loss(p, ro, rd, g, bgc, k):
+        out = render_rays(p, ro, rd, k, fcfg, rcfg, bgc)
+        loss = jnp.vdot(out["rgb"], g) + cfg.w_eikonal * out["gradient_error"]
+        if cfg.use_opacity:
+            out_gt = render_rays(params_gt, ro, rd, k, fcfg, rcfg, bgc)
+            d = jnp.clip(out["weight_sum"], 0, 1) - jax.lax.stop_gradient(
+                jnp.clip(out_gt["weight_sum"], 0, 1)
+            )
+            ad = jnp.abs(d)
+            loss = loss + jnp.mean(jnp.where(ad < 1, 0.5 * d * d, ad - 0.5)) * 1e5
+        return loss
+
+    grad_fn = jax.grad(patch_loss)
+
+    def body(args):
+        ro, rd, g, bgc, k = args
+        return grad_fn(params, ro, rd, g, bgc, k)
+
+    patch_grads = jax.lax.map(
+        body,
+        (
+            rays_o.reshape(n_patches, chunk, 3),
+            rays_d.reshape(n_patches, chunk, 3),
+            g_rgb.reshape(n_patches, chunk, 3),
+            bg.reshape(n_patches, chunk, 3),
+            keys,
+        ),
+    )
+    return jax.tree_util.tree_map(lambda g: g.sum(axis=0), patch_grads)
