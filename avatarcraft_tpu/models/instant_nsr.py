@@ -785,12 +785,22 @@ def render_rays_fast(
 
     bg = bg_color if not isinstance(bg_color, (int, float)) else jnp.asarray(bg_color)
     image = image + (1.0 - weights_sum) * bg
+
+    # eikonal over valid samples in the relaxed inside-sphere region
+    pts_norm = jnp.linalg.norm(flat, axis=-1).reshape(N, cfg.k_samples)
+    relax = jax.lax.stop_gradient(
+        ((pts_norm < 1.2) & valid).astype(jnp.float32)
+    )
+    gerr = (jnp.linalg.norm(grad.reshape(N, cfg.k_samples, 3), axis=-1) - 1.0) ** 2
+    gradient_error = (relax * gerr).sum() / (relax.sum() + 1e-5)
+
     return {
         "rgb": image,
         "depth": depth,
         "weights": weights,
         "weight_sum": weights_sum,
         "normal": normal_map,
+        "gradient_error": gradient_error,
     }
 
 

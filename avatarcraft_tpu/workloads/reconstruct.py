@@ -119,6 +119,54 @@ def make_train_step(
     return train_step
 
 
+def make_train_step_fast(
+    fcfg: FieldConfig,
+    fast_cfg,
+    tx: optax.GradientTransformation,
+    ray_fn,
+    eikonal_weight: float,
+    bg_value: float,
+):
+    """Occupancy-guided train step (instant-NGP style): the density grid is
+    an input; render_rays_fast only evaluates the field on K occupied samples
+    per ray. Compiles to a far smaller program than the 64+64 importance
+    pipeline (critical under this environment's slow remote compiler) and is
+    the intended large-scale training mode on TPU."""
+    from avatarcraft_tpu.models.instant_nsr import render_rays_fast
+
+    @jax.jit
+    def train_step(params, opt_state, poses, view_idx, pix_idx, gt_rgb, grid, key):
+        rays_o, rays_d = ray_fn(poses, view_idx, pix_idx)
+
+        def loss_fn(p):
+            out = render_rays_fast(p, rays_o, rays_d, fcfg, fast_cfg, grid, bg_value)
+            photo = smooth_l1(out["rgb"], gt_rgb)
+            loss = photo + eikonal_weight * out["gradient_error"]
+            return loss, (photo, out["gradient_error"])
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    return train_step
+
+
+def make_grid_update_fn(fcfg: FieldConfig, bound: float, resolution: int = 129):
+    """Jitted density-grid refresh from the current field."""
+    from avatarcraft_tpu.models.instant_nsr import network_field_fns
+    from avatarcraft_tpu.ops.occupancy import update_density_grid
+
+    @jax.jit
+    def refresh(params, grid):
+        field = network_field_fns(params, fcfg, bound)
+        return update_density_grid(
+            lambda x: field.sdf(x)[:, 0], grid, bound, block=1
+        )
+
+    return refresh
+
+
 def pixel_batches(
     n_views: int, n_pixels: int, batch: int, rng: np.random.Generator
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
@@ -169,6 +217,81 @@ def _shard_batch_arrays(mesh, *arrays):
     return tuple(
         jax.device_put(a, data_sharding(mesh, np.ndim(a))) for a in arrays
     )
+
+
+def train_fast(
+    dataset: SMPLMultiviewDataset,
+    fcfg: FieldConfig,
+    fast_cfg,
+    cfg: ReconstructConfig,
+    *,
+    max_steps: int | None = None,
+    grid_update_every: int = 200,
+    grid_resolution: int = 129,
+    log_every: int = 50,
+    callbacks: dict | None = None,
+) -> tuple[dict, jnp.ndarray, dict]:
+    """Occupancy-guided reconstruction: grid starts fully occupied (uniform-K
+    sampling) and sparsifies via periodic refresh as the field converges.
+    Returns (params, density_grid, stats)."""
+    from avatarcraft_tpu.ops.occupancy import init_density_grid
+
+    mesh = make_mesh()
+    params = replicate(mesh, init_field_params(jax.random.PRNGKey(cfg.seed), fcfg))
+    steps_per_epoch = dataset.n_images * dataset.H * dataset.W // cfg.batch_size
+    tx = make_optimizer(cfg, steps_per_epoch)
+    opt_state = replicate(mesh, tx.init(params))
+
+    ray_fn = make_batch_ray_fn(dataset.K, dataset.H, dataset.W)
+    step_fn = make_train_step_fast(
+        fcfg, fast_cfg, tx, ray_fn, cfg.eikonal_weight, 1.0 if cfg.white_bkg else 0.0
+    )
+    refresh = make_grid_update_fn(fcfg, fast_cfg.bound, grid_resolution)
+
+    grid = replicate(
+        mesh, jnp.full((grid_resolution,) * 3, 100.0, jnp.float32)
+    )  # fully occupied at start
+    poses = replicate(mesh, jnp.asarray(dataset.poses))
+
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+    n_pix = dataset.H * dataset.W
+    stats = {"losses": [], "rays_per_sec": 0.0}
+    step, t_start, done = 0, None, False
+
+    for epoch in range(cfg.epochs):
+        if done:
+            break
+        for view_idx, pix_idx in pixel_batches(
+            dataset.n_images, n_pix, cfg.batch_size, rng
+        ):
+            gt = dataset.gather_rgb(view_idx, pix_idx)
+            vi, pi, gt_d = _shard_batch_arrays(mesh, view_idx, pix_idx, gt)
+            key, sub = jax.random.split(key)
+            params, opt_state, loss, aux = step_fn(
+                params, opt_state, poses, vi, pi, gt_d, grid, sub
+            )
+            if step == 0:
+                jax.block_until_ready(loss)
+                t_start = time.perf_counter()
+            if log_every and step % log_every == 0:
+                stats["losses"].append((step, float(loss)))
+            if grid_update_every and step > 0 and step % grid_update_every == 0:
+                grid = refresh(params, grid)
+            if callbacks and "on_step" in callbacks:
+                callbacks["on_step"](step, params, loss)
+            step += 1
+            if max_steps is not None and step >= max_steps:
+                done = True
+                break
+
+    jax.block_until_ready(params)
+    if t_start is not None and step > 1:
+        dt = time.perf_counter() - t_start
+        stats["rays_per_sec"] = (step - 1) * cfg.batch_size / dt
+        stats["steps_per_sec"] = (step - 1) / dt
+    stats["steps"] = step
+    return params, grid, stats
 
 
 def save_train_state(path: str, params, opt_state, step: int) -> None:

@@ -1,0 +1,34 @@
+"""Occupancy-guided fast training end-to-end on the tiny synthetic dataset."""
+
+import jax
+import numpy as np
+
+from avatarcraft_tpu.models.instant_nsr import FastRenderConfig, FieldConfig
+from avatarcraft_tpu.ops.grid_encoder import PyramidSpec
+from avatarcraft_tpu.workloads.reconstruct import ReconstructConfig, train_fast
+from tests.test_reconstruct import tiny_dataset  # noqa: F401  (fixture)
+
+TINY_PYR = FieldConfig(
+    encoder="tpu_pyramid",
+    pyramid=PyramidSpec(
+        grid_resolutions=(8, 16), grid_dim=2, plane_resolutions=(33,), plane_dim=2
+    ),
+    packed_dtype="float32",
+)
+
+
+def test_fast_training_reduces_loss(tiny_dataset):  # noqa: F811
+    cfg = ReconstructConfig(batch_size=64, lr=5e-3, epochs=20, white_bkg=False)
+    fast_cfg = FastRenderConfig(n_probes=32, k_samples=12, bound=1.6)
+    params, grid, stats = train_fast(
+        tiny_dataset, TINY_PYR, fast_cfg, cfg,
+        max_steps=60, grid_update_every=25, grid_resolution=17, log_every=1,
+    )
+    losses = [l for _, l in stats["losses"]]
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8
+    g = np.asarray(grid)
+    assert np.isfinite(g).all()
+    # after refresh the grid is no longer uniformly saturated
+    assert g.std() > 0
+    flat = jax.tree_util.tree_leaves(params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
