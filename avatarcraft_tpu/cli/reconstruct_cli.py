@@ -36,6 +36,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--mesh_resolution", default=512, type=int)
     parser.add_argument("--out_dir", default="./style/canonical_360", type=str)
     parser.add_argument("--max_steps", default=None, type=int)
+    parser.add_argument(
+        "--sampler", default="parity", choices=["parity", "fast"],
+        help="parity = reference 64+64 importance pipeline; fast = occupancy-"
+             "guided K-sample training (TPU-native, far smaller compiled program)",
+    )
+    parser.add_argument(
+        "--encoder", default=None, choices=["hashgrid", "tpu_pyramid"],
+        help="spatial encoder (default: hashgrid for parity, tpu_pyramid for fast)",
+    )
+    parser.add_argument("--resume_from", default=None, type=str,
+                        help="orbax train-state dir (params + optimizer moments)")
     return parser
 
 
@@ -49,6 +60,7 @@ def main(argv=None):
 
     from avatarcraft_tpu.data import SMPLMultiviewDataset
     from avatarcraft_tpu.models.instant_nsr import (
+        FastRenderConfig,
         FieldConfig,
         RenderConfig,
         extract_geometry,
@@ -57,13 +69,18 @@ def main(argv=None):
     from avatarcraft_tpu.utils.checkpoint import save_torch_checkpoint
     from avatarcraft_tpu.utils.mesh_export import save_ply
     from avatarcraft_tpu.utils.metrics import integerify_img
-    from avatarcraft_tpu.workloads.reconstruct import ReconstructConfig, train
+    from avatarcraft_tpu.workloads.reconstruct import (
+        ReconstructConfig,
+        train,
+        train_fast,
+    )
 
     if opt.data_format == "neuman":
         raise NotImplementedError("neuman data format is dead in the reference too")
 
     ds = SMPLMultiviewDataset(opt.data_path)
-    fcfg = FieldConfig()
+    encoder = opt.encoder or ("tpu_pyramid" if opt.sampler == "fast" else "hashgrid")
+    fcfg = FieldConfig(encoder=encoder)
     rcfg = RenderConfig(num_steps=64, upsample_steps=64, bound=NSR_BOUND, perturb=True)
     rcfg_val = RenderConfig(num_steps=64, upsample_steps=64, bound=NSR_BOUND, perturb=False)
     cfg = ReconstructConfig(
@@ -105,9 +122,17 @@ def main(argv=None):
             save_ply(verts, faces, path)
             print(f"mesh saved: {path}")
 
-    params, stats = train(
-        ds, fcfg, rcfg, cfg, max_steps=opt.max_steps, callbacks={"on_step": on_step}
-    )
+    if opt.sampler == "fast":
+        fast_cfg = FastRenderConfig(n_probes=128, k_samples=32, bound=NSR_BOUND)
+        params, grid, stats = train_fast(
+            ds, fcfg, fast_cfg, cfg,
+            max_steps=opt.max_steps, callbacks={"on_step": on_step},
+        )
+    else:
+        params, stats = train(
+            ds, fcfg, rcfg, cfg, max_steps=opt.max_steps,
+            callbacks={"on_step": on_step}, resume_from=opt.resume_from,
+        )
 
     final = os.path.join(exp_dir, f"{opt.exp_name}_final.pth.tar")
     save_torch_checkpoint(jax.device_get(params), final)

@@ -94,12 +94,25 @@ def params_from_torch_state_dict(state: dict) -> dict:
         color_layers.append(layer)
         l += 1
 
-    return {
-        "table": arr("encoder.embeddings"),
+    out = {
         "sdf": sdf_layers,
         "color": color_layers,
         "variance": arr("deviation_net.variance").reshape(()),
     }
+    if "encoder.embeddings" in state:
+        out["table"] = arr("encoder.embeddings")
+    else:
+        grids, planes = [], []
+        i = 0
+        while f"pyramid.grids.{i}" in state:
+            grids.append(arr(f"pyramid.grids.{i}"))
+            i += 1
+        i = 0
+        while f"pyramid.planes.{i}" in state:
+            planes.append(arr(f"pyramid.planes.{i}"))
+            i += 1
+        out["grids"], out["planes"] = grids, planes
+    return out
 
 
 def load_torch_checkpoint(path: str) -> dict:
@@ -117,7 +130,16 @@ def params_to_torch_state_dict(params: dict):
     def t(x):
         return torch.from_numpy(np.array(x, np.float32, copy=True))
 
-    state = {"encoder.embeddings": t(params["table"])}
+    state = {}
+    if "table" in params:
+        state["encoder.embeddings"] = t(params["table"])
+    else:
+        # pyramid encoder: framework-native keys (not loadable by the
+        # reference, which has no such encoder; round-trips through ours)
+        for i, g in enumerate(params.get("grids", [])):
+            state[f"pyramid.grids.{i}"] = t(g)
+        for i, p in enumerate(params.get("planes", [])):
+            state[f"pyramid.planes.{i}"] = t(p)
     for l, layer in enumerate(params["sdf"]):
         state[f"sdf_net.{l}.weight_v"] = t(layer["v"])
         state[f"sdf_net.{l}.weight_g"] = t(layer["g"]).reshape(-1, 1)
