@@ -177,6 +177,14 @@ def _softplus100(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.softplus(x * 100.0) / 100.0
 
 
+def _safe_norm(x: jnp.ndarray, axis=-1, keepdims=True) -> jnp.ndarray:
+    """sqrt(sum(x^2) + eps): unlike linalg.norm, its gradient is finite at
+    x == 0 (which occurs in practice — bf16-quantized tables make the FD
+    stencil exactly flat at init, and linalg.norm's 0/0 backward NaNs the
+    whole training step)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + 1e-12)
+
+
 def encode_position(
     params: dict, x: jnp.ndarray, cfg: FieldConfig, bound: float, packed: dict | None = None
 ) -> jnp.ndarray:
@@ -513,7 +521,7 @@ def render_rays(
     eps = 0.005 * (1.0 - rcfg.normal_epsilon_ratio)
     flat_pts = new_pts.reshape(-1, 3)
     sdf, geo_feat, gradient = _field_sdf_and_gradient(field, flat_pts, bound, eps)
-    normal = gradient / (1e-5 + jnp.linalg.norm(gradient, axis=-1, keepdims=True))
+    normal = gradient / (1e-5 + _safe_norm(gradient))
 
     flat_dirs = dirs.reshape(-1, 3)
     color = field.color(flat_pts, flat_dirs, normal, geo_feat)
@@ -560,7 +568,7 @@ def render_rays(
     # (reference: models/instant_nsr.py:266-272)
     pts_norm = jnp.linalg.norm(flat_pts, axis=-1).reshape(N, total_steps)
     relax_inside = jax.lax.stop_gradient((pts_norm < 1.2).astype(jnp.float32))
-    grad_err = (jnp.linalg.norm(gradient.reshape(N, total_steps, 3), axis=-1) - 1.0) ** 2
+    grad_err = (_safe_norm(gradient.reshape(N, total_steps, 3), keepdims=False) - 1.0) ** 2
     gradient_error = (relax_inside * grad_err).sum() / (relax_inside.sum() + 1e-5)
 
     curvature_error = jnp.asarray(0.0)
@@ -574,7 +582,7 @@ def render_rays(
             1.0 - rcfg.normal_epsilon_ratio
         )
         _, _, pgrad = _field_sdf_and_gradient(field, perturbed, bound, eps)
-        pnormal = pgrad / (1e-5 + jnp.linalg.norm(pgrad, axis=-1, keepdims=True))
+        pnormal = pgrad / (1e-5 + _safe_norm(pgrad))
         cerr = (jnp.sum(normal * pnormal, axis=-1) - 1.0) ** 2
         curvature_error = (relax_inside * cerr.reshape(N, total_steps)).sum() / (
             relax_inside.sum() + 1e-5
@@ -752,7 +760,7 @@ def render_rays_fast(
     pts = jnp.clip(pts, -bound, bound)
     flat = pts.reshape(-1, 3)
     sdf, feat, grad = sdf_tetra(field, flat, bound, cfg.fd_epsilon)
-    normal = grad / (1e-5 + jnp.linalg.norm(grad, axis=-1, keepdims=True))
+    normal = grad / (1e-5 + _safe_norm(grad))
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape).reshape(-1, 3)
     color = field.color(flat, dirs, normal, feat)
     inv_s = field.inv_s()
@@ -791,7 +799,7 @@ def render_rays_fast(
     relax = jax.lax.stop_gradient(
         ((pts_norm < 1.2) & valid).astype(jnp.float32)
     )
-    gerr = (jnp.linalg.norm(grad.reshape(N, cfg.k_samples, 3), axis=-1) - 1.0) ** 2
+    gerr = (_safe_norm(grad.reshape(N, cfg.k_samples, 3), keepdims=False) - 1.0) ** 2
     gradient_error = (relax * gerr).sum() / (relax.sum() + 1e-5)
 
     return {

@@ -221,8 +221,9 @@ def warp_samples_to_canonical(
 
     can_dirs = can_pts[:, 1:] - can_pts[:, :-1]
     can_dirs = jnp.concatenate([can_dirs, can_dirs[:, -1:]], axis=1)
-    can_dirs = can_dirs / (
-        jnp.linalg.norm(can_dirs, axis=2, keepdims=True) + 1e-12
+    # sqrt(sum+eps): finite gradient when consecutive warped points coincide
+    can_dirs = can_dirs / jnp.sqrt(
+        jnp.sum(can_dirs * can_dirs, axis=2, keepdims=True) + 1e-12
     )
     return can_pts, can_dirs, closest, mask.reshape(N, T)
 
