@@ -87,7 +87,21 @@ def main(argv=None):
             imageio.imwrite(path, img)
             print(f"image saved: {path}")
             if opt.log_extra:
-                import cv2 as _cv  # optional; guarded
+                # JET-colormapped depth, empty pixels black
+                # (reference: render_canonical.py:85-109)
+                import cv2
+
+                depth = np.asarray(out["depth"]).reshape(h, w, 1)
+                mask = depth < 4e-1
+                depth[mask] = 0.45
+                depth = (depth - depth.min()) / max(depth.max() - depth.min(), 1e-8)
+                depth8 = (depth * 255).astype(np.uint8)
+                dimg = cv2.applyColorMap(depth8, cv2.COLORMAP_JET)
+                dimg[mask.repeat(3, axis=2)] = 0
+                dpath = os.path.join(
+                    exp_dir, f"{opt.exp_name}_{pose_name}_can_{i:04d}_depth.png"
+                )
+                imageio.imwrite(dpath, dimg)
 
         gif = os.path.join(exp_dir, f"{opt.exp_name}_{pose_name}_can.gif")
         imageio.mimsave(gif, imgs, fps=15, loop=0)
