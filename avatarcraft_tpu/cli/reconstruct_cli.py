@@ -93,11 +93,26 @@ def main(argv=None):
     exp_dir = os.path.join(opt.out_dir, opt.exp_name)
     os.makedirs(exp_dir, exist_ok=True)
 
-    val_render = jax.jit(
-        lambda p, ro, rd, k: render_rays_chunked(
-            p, ro, rd, k, fcfg, rcfg_val, 1.0 if opt.white_bkg else 0.0, chunk=8192
-        )["rgb"]
-    )
+    if opt.sampler == "fast":
+        import jax.numpy as jnp
+
+        _val_grid = jnp.full((129,) * 3, 100.0, jnp.float32)
+        _fast_val_cfg = FastRenderConfig(n_probes=128, k_samples=32, bound=NSR_BOUND)
+
+        from avatarcraft_tpu.models.instant_nsr import render_rays_fast
+
+        val_render = jax.jit(
+            lambda p, ro, rd, k: render_rays_fast(
+                p, ro, rd, fcfg, _fast_val_cfg, _val_grid,
+                1.0 if opt.white_bkg else 0.0,
+            )["rgb"]
+        )
+    else:
+        val_render = jax.jit(
+            lambda p, ro, rd, k: render_rays_chunked(
+                p, ro, rd, k, fcfg, rcfg_val, 1.0 if opt.white_bkg else 0.0, chunk=8192
+            )["rgb"]
+        )
 
     def log_val(step, params):
         rays_o, rays_d = ds.gen_rays_at(62)  # reference's val view
