@@ -107,7 +107,8 @@ def render_hybrid_multi_persons(
     key = key if key is not None else jax.random.PRNGKey(0)
     out_b = render_nerf_rays(bkg_params, rays_o, rays_d, bkg_cfg, white_bkg=True)
     rgb = out_b["rgb"]
-    depth = out_b["depth"]
+    # empty-sky rays have ~zero accumulated weight and meaningless depth
+    depth = jnp.where(out_b["acc"] > 0.05, out_b["depth"], jnp.inf)
 
     for i, av in enumerate(avatars):
         sub = jax.random.fold_in(key, i)

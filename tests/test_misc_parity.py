@@ -80,6 +80,40 @@ def test_hybrid_avatar_over_nerf_background():
     np.testing.assert_allclose(np.asarray(out["rgb"][0]), [1, 0, 0], atol=0.05)
 
 
+def test_hybrid_multi_person_nearest_wins():
+    from avatarcraft_tpu.models.instant_nsr import RenderConfig
+    from avatarcraft_tpu.models.nerf import NeRFConfig, init_nerf_params
+    from avatarcraft_tpu.workloads.hybrid import render_hybrid_multi_persons
+    from tests.test_render_core import SMALL_FIELD, sphere_field
+
+    bkg_cfg = NeRFConfig(depth=2, width=32, skip_layer=1, multires=4)
+    bkg_params = init_nerf_params(jax.random.PRNGKey(0), bkg_cfg)
+    bkg_params["sigma"]["b"] = bkg_params["sigma"]["b"] - 10.0  # empty bkg
+
+    rcfg = RenderConfig(num_steps=16, upsample_steps=16, upsample_round=16)
+    import avatarcraft_tpu.models.instant_nsr as nsr
+
+    orig = nsr.network_field_fns
+    nsr.network_field_fns = lambda p, f, b: sphere_field(0.5, rgb=tuple(p["rgb"]))
+    try:
+        avatars = [
+            {"params": {"rgb": (1.0, 0.0, 0.0)}, "fcfg": SMALL_FIELD, "rcfg": rcfg},
+            {"params": {"rgb": (0.0, 1.0, 0.0)}, "fcfg": SMALL_FIELD, "rcfg": rcfg},
+        ]
+        rays_o = jnp.asarray([[0.0, 0.0, -2.0]])
+        rays_d = jnp.asarray([[0.0, 0.0, 1.0]])
+        out = render_hybrid_multi_persons(
+            avatars, bkg_params, bkg_cfg, rays_o, rays_d, key=jax.random.PRNGKey(1)
+        )
+    finally:
+        nsr.network_field_fns = orig
+    # both avatars occupy the same sphere; the LAST nearer-or-equal one wins
+    # deterministically and the pixel is an avatar color, not background white
+    rgb = np.asarray(out["rgb"][0])
+    assert rgb.max() > 0.9 and rgb.min() < 0.1
+    assert np.isfinite(np.asarray(out["depth"])).all()
+
+
 def test_vae_decoder_roundtrip_shapes():
     from avatarcraft_tpu.models.sd import (
         VAEConfig,
