@@ -47,6 +47,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--resume_from", default=None, type=str,
                         help="orbax train-state dir (params + optimizer moments)")
+    parser.add_argument("--holdout_views", default="", type=str,
+                        help="comma-separated view indices excluded from "
+                             "training (kept for honest PSNR evaluation)")
+    parser.add_argument("--save_state_every", default=0, type=int,
+                        help="write resumable orbax train state every N steps "
+                             "(fast sampler only)")
+    parser.add_argument(
+        "--bkg_mode", default="raw",
+        choices=["raw", "composite", "composite_random"],
+        help="GT background handling: raw = reference parity (stored images "
+             "vs renders on the white_bkg color); composite = mask-composite "
+             "GT onto the training bg; composite_random = random gray bg per "
+             "step (forces clean empty space)")
     return parser
 
 
@@ -88,6 +101,7 @@ def main(argv=None):
         lr=opt.lr,
         epochs=opt.epochs,
         white_bkg=opt.white_bkg,
+        bkg_mode=opt.bkg_mode,
     )
 
     exp_dir = os.path.join(opt.out_dir, opt.exp_name)
@@ -114,13 +128,23 @@ def main(argv=None):
             )["rgb"]
         )
 
+    val_level = 4  # 128² val render: one compiled shape, no OOM risk
+    vh, vw = ds.H // val_level, ds.W // val_level
+
     def log_val(step, params):
-        rays_o, rays_d = ds.gen_rays_at(62)  # reference's val view
+        rays_o, rays_d = ds.gen_rays_at(62, resolution_level=val_level)
         rgb = val_render(params, rays_o, rays_d, jax.random.PRNGKey(0))
-        img = integerify_img(np.asarray(rgb).reshape(ds.H, ds.W, 3))
+        img = np.asarray(rgb).reshape(vh, vw, 3)
+        ys = np.round(np.linspace(0, ds.H - 1, vh)).astype(int)
+        xs = np.round(np.linspace(0, ds.W - 1, vw)).astype(int)
+        bgv = 1.0 if opt.white_bkg else 0.0
+        m = ds.masks[62][np.ix_(ys, xs)][..., None]
+        gt = ds.images[62][np.ix_(ys, xs)] * m + (1.0 - m) * bgv
+        mse = float(np.mean((img - gt) ** 2))
+        psnr = -10.0 * np.log10(max(mse, 1e-10))
         path = os.path.join(exp_dir, f"{opt.exp_name}_{step + 1:04d}.png")
-        imageio.imwrite(path, img)
-        print(f"image saved: {path}")
+        imageio.imwrite(path, integerify_img(img))
+        print(f"val view 62 @{vh}x{vw}: PSNR {psnr:.2f} dB | saved {path}")
 
     def on_step(step, params, loss):
         if step % 200 == 0:
@@ -138,11 +162,22 @@ def main(argv=None):
             print(f"mesh saved: {path}")
 
     if opt.sampler == "fast":
+        holdout = [int(v) for v in opt.holdout_views.split(",") if v.strip()]
+        view_ids = None
+        if holdout:
+            view_ids = np.array(
+                [v for v in range(ds.n_images) if v not in set(holdout)], np.int32
+            )
+            print(f"holding out views {holdout} ({len(view_ids)} train views)")
         fast_cfg = FastRenderConfig(n_probes=128, k_samples=32, bound=NSR_BOUND)
         params, grid, stats = train_fast(
             ds, fcfg, fast_cfg, cfg,
             max_steps=opt.max_steps, callbacks={"on_step": on_step},
+            view_ids=view_ids, state_dir=exp_dir,
+            save_state_every=opt.save_state_every, resume_from=opt.resume_from,
         )
+        np.save(os.path.join(exp_dir, f"{opt.exp_name}_grid.npy"),
+                np.asarray(jax.device_get(grid)))
     else:
         params, stats = train(
             ds, fcfg, rcfg, cfg, max_steps=opt.max_steps,

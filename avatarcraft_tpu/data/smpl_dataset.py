@@ -73,6 +73,11 @@ class SMPLMultiviewDataset:
         flat = self.images.reshape(self.n_images, -1, 3)
         return flat[view_idx, pix_idx]
 
+    def gather_mask(self, view_idx: np.ndarray, pix_idx: np.ndarray) -> np.ndarray:
+        """Host-side gather of the subject mask for a ray batch. [M]."""
+        flat = self.masks.reshape(self.n_images, -1)
+        return flat[view_idx, pix_idx]
+
     def gen_random_rays_at(self, idx: int, batch_size: int, rng=None):
         """Random pixels of one view -> (rays_o, rays_d, rgb, mask)
         (reference: utils/SMPLDataset.py:128-147)."""

@@ -765,9 +765,14 @@ def render_rays_fast(
     color = field.color(flat, dirs, normal, feat)
     inv_s = field.inv_s()
 
-    deltas = jnp.concatenate(
-        [z_sel[:, 1:] - z_sel[:, :-1], (far - near) / cfg.n_probes], axis=-1
-    )
+    # Invalid (unoccupied) slots sit after the valid ones but carry arbitrary
+    # probe depths, so a raw diff would give the deepest valid sample a large
+    # negative delta (zeroing its alpha). Any transition into an invalid slot
+    # falls back to the probe spacing; the invalid slots' own alphas are
+    # masked by `valid` below.
+    spacing = (far - near) / cfg.n_probes
+    diffs = jnp.where(valid[:, 1:], z_sel[:, 1:] - z_sel[:, :-1], spacing)
+    deltas = jnp.concatenate([diffs, spacing], axis=-1)
     true_cos = jnp.sum(dirs * normal, axis=-1, keepdims=True)
     iter_cos = -(
         _softplus100(-true_cos * 0.5 + 0.5) * (1.0 - cfg.cos_anneal_ratio)

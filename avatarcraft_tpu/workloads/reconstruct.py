@@ -52,6 +52,14 @@ class ReconstructConfig:
     eikonal_weight: float = 0.1
     white_bkg: bool = True
     seed: int = 42
+    # GT background handling. "raw" reproduces the reference exactly: the
+    # stored images are compared as-is against renders composited on the
+    # white_bkg color (reference: reconstruct.py:90-106) — note the bundled
+    # dataset has BLACK backgrounds, so raw+white is inconsistent supervision.
+    # "composite" mask-composites GT onto the training bg color;
+    # "composite_random" additionally draws a random gray level per step,
+    # which forces weights_sum -> 0 off-subject (crisp silhouettes).
+    bkg_mode: str = "raw"
 
 
 def make_batch_ray_fn(K: np.ndarray, H: int, W: int):
@@ -135,11 +143,11 @@ def make_train_step_fast(
     from avatarcraft_tpu.models.instant_nsr import render_rays_fast
 
     @jax.jit
-    def train_step(params, opt_state, poses, view_idx, pix_idx, gt_rgb, grid, key):
+    def train_step(params, opt_state, poses, view_idx, pix_idx, gt_rgb, grid, key, bg):
         rays_o, rays_d = ray_fn(poses, view_idx, pix_idx)
 
         def loss_fn(p):
-            out = render_rays_fast(p, rays_o, rays_d, fcfg, fast_cfg, grid, bg_value)
+            out = render_rays_fast(p, rays_o, rays_d, fcfg, fast_cfg, grid, bg)
             photo = smooth_l1(out["rgb"], gt_rgb)
             loss = photo + eikonal_weight * out["gradient_error"]
             return loss, (photo, out["gradient_error"])
@@ -168,16 +176,26 @@ def make_grid_update_fn(fcfg: FieldConfig, bound: float, resolution: int = 129):
 
 
 def pixel_batches(
-    n_views: int, n_pixels: int, batch: int, rng: np.random.Generator
+    n_views: int,
+    n_pixels: int,
+    batch: int,
+    rng: np.random.Generator,
+    view_ids: np.ndarray | None = None,
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
     """Epoch iterator over a full shuffled permutation of every (view, pixel),
     matching the reference's per-epoch ray permutation (reconstruct.py:80-83).
-    Drops the final partial batch to keep shapes static."""
-    total = n_views * n_pixels
+    Drops the final partial batch to keep shapes static.
+
+    ``view_ids``: optional subset of dataset view indices to draw from (the
+    held-out complement is never touched, enabling honest PSNR eval)."""
+    if view_ids is None:
+        view_ids = np.arange(n_views, dtype=np.int32)
+    view_ids = np.asarray(view_ids, np.int32)
+    total = len(view_ids) * n_pixels
     perm = rng.permutation(total).astype(np.int64)
     for i in range(0, total - batch + 1, batch):
         sel = perm[i : i + batch]
-        yield (sel // n_pixels).astype(np.int32), (sel % n_pixels).astype(np.int32)
+        yield view_ids[(sel // n_pixels)], (sel % n_pixels).astype(np.int32)
 
 
 @dataclasses.dataclass
@@ -230,10 +248,19 @@ def train_fast(
     grid_resolution: int = 129,
     log_every: int = 50,
     callbacks: dict | None = None,
+    view_ids: np.ndarray | None = None,
+    state_dir: str | None = None,
+    save_state_every: int = 0,
+    resume_from: str | None = None,
 ) -> tuple[dict, jnp.ndarray, dict]:
     """Occupancy-guided reconstruction: grid starts fully occupied (uniform-K
     sampling) and sparsifies via periodic refresh as the field converges.
-    Returns (params, density_grid, stats)."""
+    Returns (params, density_grid, stats).
+
+    ``view_ids`` restricts training to a view subset (holdout support);
+    ``state_dir``/``save_state_every`` write resumable orbax train state
+    (params + optimizer moments + grid + step); ``resume_from`` continues
+    from such a state (the LR schedule resumes via the optax step count)."""
     from avatarcraft_tpu.ops.occupancy import init_density_grid
 
     mesh = make_mesh()
@@ -259,17 +286,52 @@ def train_fast(
     stats = {"losses": [], "rays_per_sec": 0.0}
     step, t_start, done = 0, None, False
 
+    if resume_from is not None:
+        from avatarcraft_tpu.utils.checkpoint import load_checkpoint
+
+        like = {
+            "params": jax.device_get(params),
+            "opt_state": jax.device_get(opt_state),
+            "grid": np.zeros((grid_resolution,) * 3, np.float32),
+            "step": 0,
+        }
+        state = load_checkpoint(resume_from, like)
+        params = replicate(mesh, state["params"])
+        opt_state = replicate(mesh, state["opt_state"])
+        grid = replicate(mesh, jnp.asarray(state["grid"]))
+        step = int(state["step"])
+        key = jax.random.fold_in(key, step)
+
+    def _save_state(tag):
+        from avatarcraft_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            f"{state_dir}/{tag}",
+            {
+                "params": jax.device_get(params),
+                "opt_state": jax.device_get(opt_state),
+                "grid": np.asarray(jax.device_get(grid)),
+                "step": step,
+            },
+        )
+
     for epoch in range(cfg.epochs):
         if done:
             break
         for view_idx, pix_idx in pixel_batches(
-            dataset.n_images, n_pix, cfg.batch_size, rng
+            dataset.n_images, n_pix, cfg.batch_size, rng, view_ids
         ):
             gt = dataset.gather_rgb(view_idx, pix_idx)
+            bg = 1.0 if cfg.white_bkg else 0.0
+            if cfg.bkg_mode.startswith("composite"):
+                if cfg.bkg_mode == "composite_random":
+                    bg = float(rng.uniform())
+                m = dataset.gather_mask(view_idx, pix_idx)[:, None]
+                gt = gt * m + (1.0 - m) * bg
             vi, pi, gt_d = _shard_batch_arrays(mesh, view_idx, pix_idx, gt)
             key, sub = jax.random.split(key)
             params, opt_state, loss, aux = step_fn(
-                params, opt_state, poses, vi, pi, gt_d, grid, sub
+                params, opt_state, poses, vi, pi, gt_d, grid, sub, jnp.float32(bg)
             )
             if step == 0:
                 jax.block_until_ready(loss)
@@ -281,11 +343,15 @@ def train_fast(
             if callbacks and "on_step" in callbacks:
                 callbacks["on_step"](step, params, loss)
             step += 1
+            if state_dir and save_state_every and step % save_state_every == 0:
+                _save_state("state_latest")
             if max_steps is not None and step >= max_steps:
                 done = True
                 break
 
     jax.block_until_ready(params)
+    if state_dir:
+        _save_state("state_final")
     if t_start is not None and step > 1:
         dt = time.perf_counter() - t_start
         stats["rays_per_sec"] = (step - 1) * cfg.batch_size / dt
