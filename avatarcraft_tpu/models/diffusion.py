@@ -78,6 +78,10 @@ class GuidanceModules:
     text_encode: Callable
     latent_scale: int = 8  # image->latent downsampling factor
     image_size: int = 512
+    vae_decode: Callable | None = None  # latents -> images (txt2img)
+    tokenizer: object | None = None
+    configs: dict | None = None
+    use_depth: bool = False  # SD 2.0-depth: concat depth to the latent input
 
 
 class SDSGuidance:
@@ -108,12 +112,18 @@ class SDSGuidance:
         text_embeddings: jnp.ndarray,
         pred_rgb: jnp.ndarray,
         guidance_scale: float = 100.0,
+        pred_depth: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         """d(SDS)/d(pred_rgb). pred_rgb: [1, 3, H, W] in [0, 1].
 
         Matches mannual_backward (reference: models/diffusion.py:92-149): the
         eps-prediction runs under stop_gradient; the clamped latent-space
         gradient is pulled back through VAE-encode and the bilinear resize.
+
+        ``pred_depth`` ([1, 1, H, W], any scale): with a depth-conditioned
+        UNet (``modules.use_depth``, SD 2.0-depth) the depth is resized to
+        the latent grid, min-max normalized to [-1, 1] and concatenated to
+        the UNet's latent input (reference: models/diffusion.py:107-111,130-131).
         """
         S = self.m.image_size
 
@@ -134,6 +144,14 @@ class SDSGuidance:
         latents_noisy = jnp.sqrt(a_t) * latents + jnp.sqrt(1.0 - a_t) * noise
 
         lat2 = jnp.concatenate([latents_noisy] * 2, axis=0)
+        if self.m.use_depth and pred_depth is not None:
+            lh, lw = latents.shape[-2:]
+            d = jax.image.resize(
+                pred_depth, (pred_depth.shape[0], 1, lh, lw), method="cubic"
+            )
+            d = 2.0 * (d - d.min()) / (d.max() - d.min() + 1e-12) - 1.0
+            d = jax.lax.stop_gradient(jnp.concatenate([d] * 2, axis=0))
+            lat2 = jnp.concatenate([lat2, d], axis=1)
         t2 = jnp.full((lat2.shape[0],), t, jnp.int32)
         eps = jax.lax.stop_gradient(self.m.unet(lat2, t2, text_embeddings))
         eps_uncond, eps_text = jnp.split(eps, 2, axis=0)

@@ -122,7 +122,9 @@ class UNetConfig:
     block_out_channels: tuple = (320, 640, 1280, 1280)
     layers_per_block: int = 2
     cross_attention_dim: int = 768
-    attention_head_dim: int = 8  # heads (SD1.5 uses 8 heads)
+    # head COUNT, int (SD1.5: 8 everywhere) or per-down-block tuple
+    # (SD2: (5, 10, 20, 20), i.e. 64-dim heads)
+    attention_head_dim: int | tuple = 8
     norm_groups: int = 32
     # which down blocks carry cross-attention (SD1.5: all but the last)
     attn_blocks: tuple = (True, True, True, False)
@@ -130,6 +132,10 @@ class UNetConfig:
     @property
     def time_embed_dim(self) -> int:
         return self.block_out_channels[0] * 4
+
+    def heads_at(self, block_idx: int) -> int:
+        ahd = self.attention_head_dim
+        return ahd[block_idx] if isinstance(ahd, (tuple, list)) else ahd
 
 
 def _init_resnet(key, cin, cout, temb_dim):
@@ -270,7 +276,6 @@ def unet_apply(
     ctx: jnp.ndarray,  # [B, L, D]
 ) -> jnp.ndarray:
     g = cfg.norm_groups
-    heads = cfg.attention_head_dim
     x = latents.transpose(0, 2, 3, 1)  # NHWC
 
     temb = timestep_embedding(t, cfg.block_out_channels[0])
@@ -278,27 +283,30 @@ def unet_apply(
 
     h = conv2d(params["conv_in"], x)
     skips = [h]
-    for block in params["down"]:
+    for i, block in enumerate(params["down"]):
         for j, res in enumerate(block["resnets"]):
             h = _resnet(res, h, temb, g)
             if block["attns"]:
-                h = _transformer(block["attns"][j], h, ctx, heads, g)
+                h = _transformer(block["attns"][j], h, ctx, cfg.heads_at(i), g)
             skips.append(h)
         if block["down"] is not None:
             h = conv2d(block["down"], h, stride=2)
             skips.append(h)
 
+    n_blocks = len(cfg.block_out_channels)
     h = _resnet(params["mid"]["res1"], h, temb, g)
-    h = _transformer(params["mid"]["attn"], h, ctx, heads, g)
+    h = _transformer(params["mid"]["attn"], h, ctx, cfg.heads_at(n_blocks - 1), g)
     h = _resnet(params["mid"]["res2"], h, temb, g)
 
-    for block in params["up"]:
+    for i, block in enumerate(params["up"]):
         for j, res in enumerate(block["resnets"]):
             skip = skips.pop()
             h = jnp.concatenate([h, skip], axis=-1)
             h = _resnet(res, h, temb, g)
             if block["attns"]:
-                h = _transformer(block["attns"][j], h, ctx, heads, g)
+                h = _transformer(
+                    block["attns"][j], h, ctx, cfg.heads_at(n_blocks - 1 - i), g
+                )
         if block["up"] is not None:
             B, H, W, C = h.shape
             h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
@@ -594,6 +602,7 @@ def unet_params_from_torch(sd: dict, cfg: UNetConfig = UNetConfig()) -> dict:
             "norm3": _t2j_norm(sd, f"{blk}.norm3"),
             "ff_geglu": _t2j_linear(sd, f"{blk}.ff.net.0.proj"),
             "ff_out": _t2j_linear(sd, f"{blk}.ff.net.2"),
+            "proj_out": _t2j_conv(sd, f"{prefix}.proj_out"),
         }
 
     params = {
@@ -632,24 +641,205 @@ def unet_params_from_torch(sd: dict, cfg: UNetConfig = UNetConfig()) -> dict:
     return params
 
 
-def load_stable_diffusion_modules(path: str, version: str = "1.5"):
-    """Assemble GuidanceModules from a directory of torch state_dicts:
-    ``unet.pt``, ``vae.pt``, ``text_encoder.pt`` + a tokenizer vocab.
+def _strip_prefix(sd: dict, prefix: str) -> dict:
+    """Sub-dict of keys under ``prefix`` (prefix removed); {} if none."""
+    out = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    return out
 
-    (Weights are user-supplied; this container has no network access.)
+
+def _t2j_attn_block(sd, prefix):
+    """Diffusers VAE mid-attention. Handles both key eras:
+    <=0.16 AttentionBlock (group_norm/query/key/value/proj_attn) and
+    >=0.17 Attention (group_norm/to_q/to_k/to_v/to_out.0)."""
+    if f"{prefix}.query.weight" in sd:
+        names = {"q": "query", "k": "key", "v": "value", "o": "proj_attn"}
+    else:
+        names = {"q": "to_q", "k": "to_k", "v": "to_v", "o": "to_out.0"}
+    return {
+        "norm": _t2j_norm(sd, f"{prefix}.group_norm"),
+        "to_q": _t2j_linear(sd, f"{prefix}.{names['q']}"),
+        "to_k": _t2j_linear(sd, f"{prefix}.{names['k']}"),
+        "to_v": _t2j_linear(sd, f"{prefix}.{names['v']}"),
+        "to_out": _t2j_linear(sd, f"{prefix}.{names['o']}"),
+    }
+
+
+def _t2j_vae_resnet(sd, prefix, temb_dim: int = 4):
+    """VAE resnets carry no time embedding in diffusers; our shared _resnet
+    block expects a time_emb_proj, so synthesize a zero one (silu(0)@0+0=0)."""
+    cout = np.asarray(sd[f"{prefix}.conv2.bias"]).shape[0]
+    p = {
+        "norm1": _t2j_norm(sd, f"{prefix}.norm1"),
+        "conv1": _t2j_conv(sd, f"{prefix}.conv1"),
+        "time_emb_proj": {
+            "w": jnp.zeros((cout, temb_dim)),
+            "b": jnp.zeros((cout,)),
+        },
+        "norm2": _t2j_norm(sd, f"{prefix}.norm2"),
+        "conv2": _t2j_conv(sd, f"{prefix}.conv2"),
+    }
+    if f"{prefix}.conv_shortcut.weight" in sd:
+        p["shortcut"] = _t2j_conv(sd, f"{prefix}.conv_shortcut")
+    return p
+
+
+def vae_encoder_params_from_torch(sd: dict, cfg: VAEConfig = VAEConfig()) -> dict:
+    """Convert a diffusers AutoencoderKL state_dict (full model or encoder
+    half) to our encoder pytree. Accepts ``encoder.``-prefixed keys plus the
+    top-level ``quant_conv``."""
+    enc = _strip_prefix(sd, "encoder.") or sd
+    params = {
+        "conv_in": _t2j_conv(enc, "conv_in"),
+        "down": [],
+        "mid": {
+            "res1": _t2j_vae_resnet(enc, "mid_block.resnets.0"),
+            "attn": _t2j_attn_block(enc, "mid_block.attentions.0"),
+            "res2": _t2j_vae_resnet(enc, "mid_block.resnets.1"),
+        },
+        "norm_out": _t2j_norm(enc, "conv_norm_out"),
+        "conv_out": _t2j_conv(enc, "conv_out"),
+        "quant_conv": _t2j_conv(sd, "quant_conv")
+        if "quant_conv.weight" in sd
+        else _t2j_conv(enc, "quant_conv"),
+    }
+    for i in range(len(cfg.block_out_channels)):
+        block = {"resnets": [], "down": None}
+        for j in range(cfg.layers_per_block):
+            block["resnets"].append(_t2j_vae_resnet(enc, f"down_blocks.{i}.resnets.{j}"))
+        if f"down_blocks.{i}.downsamplers.0.conv.weight" in enc:
+            block["down"] = _t2j_conv(enc, f"down_blocks.{i}.downsamplers.0.conv")
+        params["down"].append(block)
+    return params
+
+
+def vae_decoder_params_from_torch(sd: dict, cfg: VAEConfig = VAEConfig()) -> dict:
+    """Decoder half + post_quant_conv (diffusers AutoencoderKL layout)."""
+    dec = _strip_prefix(sd, "decoder.") or sd
+    params = {
+        "post_quant_conv": _t2j_conv(sd, "post_quant_conv")
+        if "post_quant_conv.weight" in sd
+        else _t2j_conv(dec, "post_quant_conv"),
+        "conv_in": _t2j_conv(dec, "conv_in"),
+        "mid": {
+            "res1": _t2j_vae_resnet(dec, "mid_block.resnets.0"),
+            "attn": _t2j_attn_block(dec, "mid_block.attentions.0"),
+            "res2": _t2j_vae_resnet(dec, "mid_block.resnets.1"),
+        },
+        "up": [],
+        "norm_out": _t2j_norm(dec, "conv_norm_out"),
+        "conv_out": _t2j_conv(dec, "conv_out"),
+    }
+    for i in range(len(cfg.block_out_channels)):
+        block = {"resnets": [], "up": None}
+        for j in range(cfg.layers_per_block + 1):
+            block["resnets"].append(_t2j_vae_resnet(dec, f"up_blocks.{i}.resnets.{j}"))
+        if f"up_blocks.{i}.upsamplers.0.conv.weight" in dec:
+            block["up"] = _t2j_conv(dec, f"up_blocks.{i}.upsamplers.0.conv")
+        params["up"].append(block)
+    return params
+
+
+def clip_text_params_from_torch(sd: dict, cfg: CLIPTextConfig = CLIPTextConfig()) -> dict:
+    """Convert a transformers CLIPTextModel state_dict to our pytree."""
+    tm = _strip_prefix(sd, "text_model.") or sd
+    params = {
+        "tok_emb": jnp.asarray(np.asarray(tm["embeddings.token_embedding.weight"])),
+        "pos_emb": jnp.asarray(np.asarray(tm["embeddings.position_embedding.weight"])),
+        "layers": [],
+        "final_norm": _t2j_norm(tm, "final_layer_norm"),
+    }
+    for i in range(cfg.num_layers):
+        pre = f"encoder.layers.{i}"
+        params["layers"].append(
+            {
+                "ln1": _t2j_norm(tm, f"{pre}.layer_norm1"),
+                "q": _t2j_linear(tm, f"{pre}.self_attn.q_proj"),
+                "k": _t2j_linear(tm, f"{pre}.self_attn.k_proj"),
+                "v": _t2j_linear(tm, f"{pre}.self_attn.v_proj"),
+                "out": _t2j_linear(tm, f"{pre}.self_attn.out_proj"),
+                "ln2": _t2j_norm(tm, f"{pre}.layer_norm2"),
+                "fc1": _t2j_linear(tm, f"{pre}.mlp.fc1"),
+                "fc2": _t2j_linear(tm, f"{pre}.mlp.fc2"),
+            }
+        )
+    return params
+
+
+def _load_state_dict(path: str):
+    """torch.load a state_dict file; unwraps {'state_dict': ...} containers."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = sd["state_dict"]
+    return {k: v for k, v in sd.items()}
+
+
+def load_stable_diffusion_modules(
+    path: str,
+    version: str = "1.5",
+    *,
+    unet_config: UNetConfig | None = None,
+    vae_config: VAEConfig | None = None,
+    clip_config: CLIPTextConfig | None = None,
+    image_size: int = 512,
+):
+    """Assemble GuidanceModules from a directory of user-supplied torch
+    state_dicts (this container has no network access, so weights arrive as
+    files the way the reference's arrive from the HF hub —
+    reference: models/diffusion.py:53-64):
+
+        <path>/unet.pt            diffusers UNet2DConditionModel state_dict
+        <path>/vae.pt             diffusers AutoencoderKL state_dict
+        <path>/text_encoder.pt    transformers CLIPTextModel state_dict
+        <path>/tokenizer/merges.txt  (+ optional vocab.json)
+
+    ``version='2.0'`` selects the depth-conditioned SD-2 geometry
+    (in_channels=5, 1024-dim context, per-block head counts; reference:
+    models/diffusion.py:44-49) — supply matching weights.
     """
     import os
 
-    import torch
-
+    from avatarcraft_tpu.models.clip_tokenizer import CLIPTokenizer
     from avatarcraft_tpu.models.diffusion import GuidanceModules
 
-    ucfg, vcfg, tcfg = UNetConfig(), VAEConfig(), CLIPTextConfig()
-    unet_sd = torch.load(os.path.join(path, "unet.pt"), map_location="cpu", weights_only=True)
-    unet_params = unet_params_from_torch(unet_sd, ucfg)
+    if version == "2.0":
+        ucfg = unet_config or UNetConfig(
+            in_channels=5,
+            cross_attention_dim=1024,
+            attention_head_dim=(5, 10, 20, 20),
+        )
+        tcfg = clip_config or CLIPTextConfig(hidden_size=1024, num_layers=23, num_heads=16)
+    else:
+        ucfg = unet_config or UNetConfig()
+        tcfg = clip_config or CLIPTextConfig()
+    vcfg = vae_config or VAEConfig()
 
-    # VAE + text encoder conversions follow the same key mapping scheme
-    raise NotImplementedError(
-        "full VAE/CLIP torch conversion lands with a weights-available "
-        "environment; the UNet converter above is complete"
+    unet_params = unet_params_from_torch(_load_state_dict(os.path.join(path, "unet.pt")), ucfg)
+    vae_sd = _load_state_dict(os.path.join(path, "vae.pt"))
+    vae_enc = vae_encoder_params_from_torch(vae_sd, vcfg)
+    vae_dec = (
+        vae_decoder_params_from_torch(vae_sd, vcfg)
+        if any(k.startswith("decoder.") for k in vae_sd)
+        else None
+    )
+    clip_params = clip_text_params_from_torch(
+        _load_state_dict(os.path.join(path, "text_encoder.pt")), tcfg
+    )
+    tokenizer = CLIPTokenizer.from_pretrained(os.path.join(path, "tokenizer"))
+
+    def text_encode(prompts: list[str]):
+        ids = jnp.asarray(tokenizer(prompts, max_length=tcfg.max_len), jnp.int32)
+        return clip_text_apply(clip_params, tcfg, ids)
+
+    return GuidanceModules(
+        unet=lambda l, t, c: unet_apply(unet_params, ucfg, l, t, c),
+        vae_encode=lambda im: vae_encode_apply(vae_enc, vcfg, im),
+        text_encode=text_encode,
+        latent_scale=2 ** (len(vcfg.block_out_channels) - 1),
+        image_size=image_size,
+        vae_decode=(lambda lat: vae_decode_apply(vae_dec, vcfg, lat)) if vae_dec else None,
+        tokenizer=tokenizer,
+        configs={"unet": ucfg, "vae": vcfg, "clip": tcfg},
+        use_depth=(version == "2.0"),
     )

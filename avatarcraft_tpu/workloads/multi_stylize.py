@@ -98,9 +98,9 @@ class MultiPromptTrainer:
                 jax.vmap(phaseA, in_axes=(0, None, None, None, 0))
             )
         keysA = jax.random.split(self._next_key(), self.P)
-        rgb = self._phaseA[(n_rays, chunk)](
+        rgb, _depth = self._phaseA[(n_rays, chunk)](
             self.params_style, rays_o, rays_d, bg, keysA
-        )  # [P, n_rays, 3]
+        )  # [P, n_rays, 3], [P, n_rays]
 
         imgs = rgb.reshape(self.P, th, tw, 3).transpose(0, 3, 1, 2)[:, None]
         keysG = jax.random.split(self._next_key(), self.P)

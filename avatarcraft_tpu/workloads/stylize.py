@@ -77,7 +77,11 @@ class StylizeConfig:
 
 
 def make_phaseA_render(fcfg: FieldConfig, rcfg: RenderConfig, chunk: int):
-    """Full-frame render, no parameter gradients, fixed chunking."""
+    """Full-frame render, no parameter gradients, fixed chunking.
+
+    Returns (rgb [N,3], depth [N]) — depth feeds the SD-2.0-depth latent
+    conditioning when the guidance wants it (reference: stylize.py:115-130 via
+    models/diffusion.py:107-111)."""
 
     @jax.jit
     def phaseA(params, rays_o, rays_d, bg, key):
@@ -88,9 +92,9 @@ def make_phaseA_render(fcfg: FieldConfig, rcfg: RenderConfig, chunk: int):
         def body(args):
             ro, rd, bgc, k = args
             out = render_rays(params, ro, rd, k, fcfg, rcfg, bgc)
-            return out["rgb"]
+            return out["rgb"], out["depth"]
 
-        rgb = jax.lax.map(
+        rgb, depth = jax.lax.map(
             body,
             (
                 rays_o.reshape(n_chunks, chunk, 3),
@@ -99,7 +103,10 @@ def make_phaseA_render(fcfg: FieldConfig, rcfg: RenderConfig, chunk: int):
                 keys,
             ),
         )
-        return jax.lax.stop_gradient(rgb.reshape(n, 3))
+        return (
+            jax.lax.stop_gradient(rgb.reshape(n, 3)),
+            jax.lax.stop_gradient(depth.reshape(n)),
+        )
 
     return phaseA
 
@@ -242,12 +249,15 @@ class StylizeTrainer:
             self._phaseA[(n_rays, chunk)] = make_phaseA_render(
                 self.fcfg, self.rcfg, chunk
             )
-        rgb_full = self._phaseA[(n_rays, chunk)](
+        rgb_full, depth_full = self._phaseA[(n_rays, chunk)](
             self.params_style, rays_o, rays_d, bg, self._next_key()
         )
         img = rgb_full.reshape(1, th, tw, 3).transpose(0, 3, 1, 2)
+        pred_depth = (
+            depth_full.reshape(1, 1, th, tw) if self.guidance.m.use_depth else None
+        )
         g_img = self.guidance.sds_image_grad(
-            self._next_key(), text_emb, img, c.guidance_scale
+            self._next_key(), text_emb, img, c.guidance_scale, pred_depth=pred_depth
         )
         g_rgb = g_img.transpose(0, 2, 3, 1).reshape(-1, 3)
 
