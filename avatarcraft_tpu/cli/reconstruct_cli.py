@@ -110,30 +110,39 @@ def main(argv=None):
     if opt.sampler == "fast":
         import jax.numpy as jnp
 
-        _val_grid = jnp.full((129,) * 3, 100.0, jnp.float32)
-        _fast_val_cfg = FastRenderConfig(n_probes=128, k_samples=32, bound=NSR_BOUND)
+        _fast_val_cfg = FastRenderConfig(n_probes=192, k_samples=32, bound=NSR_BOUND)
 
         from avatarcraft_tpu.models.instant_nsr import render_rays_fast
 
-        val_render = jax.jit(
-            lambda p, ro, rd, k: render_rays_fast(
-                p, ro, rd, fcfg, _fast_val_cfg, _val_grid,
+        # grid is the LIVE training grid: with a saturated grid the top-K
+        # nearest probes never reach the subject, so a real grid is essential
+        _val_fast = jax.jit(
+            lambda p, ro, rd, grid: render_rays_fast(
+                p, ro, rd, fcfg, _fast_val_cfg, grid,
                 1.0 if opt.white_bkg else 0.0,
             )["rgb"]
         )
+
+        def val_render(p, ro, rd, k, grid=None):
+            if grid is None:
+                grid = jnp.full((129,) * 3, 100.0, jnp.float32)
+            return _val_fast(p, ro, rd, grid)
     else:
-        val_render = jax.jit(
+        _val_parity = jax.jit(
             lambda p, ro, rd, k: render_rays_chunked(
                 p, ro, rd, k, fcfg, rcfg_val, 1.0 if opt.white_bkg else 0.0, chunk=8192
             )["rgb"]
         )
 
+        def val_render(p, ro, rd, k, grid=None):
+            return _val_parity(p, ro, rd, k)
+
     val_level = 4  # 128² val render: one compiled shape, no OOM risk
     vh, vw = ds.H // val_level, ds.W // val_level
 
-    def log_val(step, params):
+    def log_val(step, params, grid=None):
         rays_o, rays_d = ds.gen_rays_at(62, resolution_level=val_level)
-        rgb = val_render(params, rays_o, rays_d, jax.random.PRNGKey(0))
+        rgb = val_render(params, rays_o, rays_d, jax.random.PRNGKey(0), grid)
         img = np.asarray(rgb).reshape(vh, vw, 3)
         ys = np.round(np.linspace(0, ds.H - 1, vh)).astype(int)
         xs = np.round(np.linspace(0, ds.W - 1, vw)).astype(int)
@@ -146,11 +155,11 @@ def main(argv=None):
         imageio.imwrite(path, integerify_img(img))
         print(f"val view 62 @{vh}x{vw}: PSNR {psnr:.2f} dB | saved {path}")
 
-    def on_step(step, params, loss):
+    def on_step(step, params, loss, grid=None):
         if step % 200 == 0:
             print(f"step {step}: loss {float(loss):.5f}")
         if (step + 1) % opt.i_val == 0:
-            log_val(step, params)
+            log_val(step, params, grid)
         if (step + 1) % opt.i_save == 0:
             path = os.path.join(exp_dir, f"{opt.exp_name}_{step + 1:04d}.pth.tar")
             save_torch_checkpoint(jax.device_get(params), path)

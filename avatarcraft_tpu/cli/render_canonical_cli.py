@@ -33,6 +33,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--log_extra", default=False, type=options.str2bool)
     parser.add_argument("--batch_size", type=int, default=4096)
     parser.add_argument("--out_dir", default="./demo", type=str)
+    parser.add_argument("--encoder", default=None, choices=["hashgrid", "tpu_pyramid"],
+                        help="override the checkpoint's (inferred) encoder")
+    parser.add_argument("--sampler", default="parity", choices=["parity", "fast"],
+                        help="fast = occupancy-guided K-sample rendering")
+    parser.add_argument("--grid_path", default=None, type=str,
+                        help="density grid .npy for --sampler fast (from "
+                             "reconstruct); omit = refresh from the SDF")
     return parser
 
 
@@ -42,34 +49,132 @@ def main(argv=None):
 
     import imageio.v2 as imageio
     import jax
+    import jax.numpy as jnp
 
     from avatarcraft_tpu.cameras import default_360_path, pose2rays
     from avatarcraft_tpu.models.instant_nsr import (
-        FieldConfig,
         RenderConfig,
         render_rays_chunked,
     )
-    from avatarcraft_tpu.utils.checkpoint import safe_load_params
+    from avatarcraft_tpu.utils.checkpoint import load_params_with_config
     from avatarcraft_tpu.utils.metrics import integerify_img
 
     h = opt.render_h or 256
     w = opt.render_w or 256
-    fcfg = FieldConfig()
+    bg = 1.0 if opt.white_bkg else 0.0
     rcfg = RenderConfig(num_steps=64, upsample_steps=64, bound=NSR_BOUND, perturb=False)
-    params = safe_load_params(opt.weights_path)
+
+    # ---- field / render dispatch (--implicit_model, reference parity for
+    # the legacy models the reference only half-supports) -------------------
+    if opt.implicit_model == "nerf":
+        from avatarcraft_tpu.models.nerf import (
+            NeRFConfig,
+            init_nerf_params,
+            render_nerf_rays,
+        )
+
+        ncfg = NeRFConfig(mapping=opt.can_posenc)
+        if opt.weights_path and os.path.isdir(opt.weights_path):
+            from avatarcraft_tpu.utils.checkpoint import load_checkpoint
+
+            params = load_checkpoint(opt.weights_path)
+        else:
+            print("[render] WARNING: no orbax NeRF checkpoint; random init")
+            params = init_nerf_params(jax.random.PRNGKey(0), ncfg)
+
+        render = jax.jit(
+            lambda p, ro, rd: {
+                "rgb": render_nerf_rays(p, ro, rd, ncfg, white_bkg=opt.white_bkg)["rgb"],
+                "depth": render_nerf_rays(p, ro, rd, ncfg, white_bkg=opt.white_bkg)["depth"],
+            }
+        )
+    elif opt.implicit_model == "neus":
+        from avatarcraft_tpu.models.neus import (
+            NeuSConfig,
+            build_neus,
+            init_neus_params,
+        )
+
+        ncfg = NeuSConfig()
+        if opt.weights_path and os.path.isdir(opt.weights_path):
+            from avatarcraft_tpu.utils.checkpoint import load_checkpoint
+
+            params = load_checkpoint(opt.weights_path)
+        else:
+            print("[render] WARNING: no orbax NeuS checkpoint; SAL sphere init")
+            params = init_neus_params(jax.random.PRNGKey(0), ncfg)
+        from avatarcraft_tpu.models.instant_nsr import FieldConfig
+
+        fcfg = FieldConfig()  # unused by the injected field
+        render = jax.jit(
+            lambda p, ro, rd: render_rays_chunked(
+                {}, ro, rd, jax.random.PRNGKey(0), fcfg, rcfg, bg,
+                chunk=opt.batch_size, field=build_neus(p, ncfg),
+            )
+        )
+    else:
+        params, fcfg = load_params_with_config(opt.weights_path)
+        if opt.encoder and opt.encoder != fcfg.encoder:
+            import dataclasses as _dc
+
+            fcfg = _dc.replace(fcfg, encoder=opt.encoder)
+        print(f"[render] field: encoder={fcfg.encoder} use_viewdirs={fcfg.use_viewdirs}")
+
+        if opt.sampler == "fast":
+            from avatarcraft_tpu.models.instant_nsr import (
+                FastRenderConfig,
+                network_field_fns,
+                render_rays_fast,
+            )
+            from avatarcraft_tpu.ops.occupancy import update_density_grid
+
+            if opt.grid_path:
+                grid = jnp.asarray(np.load(opt.grid_path))
+            else:
+                print("[render] refreshing density grid from the SDF ...")
+                field = network_field_fns(params, fcfg, NSR_BOUND)
+                grid = jax.jit(
+                    lambda: update_density_grid(
+                        lambda x: field.sdf(x)[:, 0],
+                        jnp.zeros((129,) * 3), NSR_BOUND, block=1,
+                    )
+                )()
+            fast_cfg = FastRenderConfig(n_probes=192, k_samples=32, bound=NSR_BOUND)
+            chunk = opt.batch_size * 4
+
+            _fast = jax.jit(
+                lambda p, ro, rd: render_rays_fast(p, ro, rd, fcfg, fast_cfg, grid, bg)
+            )
+
+            def render(p, ro, rd):
+                outs = {"rgb": [], "depth": []}
+                n = ro.shape[0]
+                pad = (-n) % chunk
+                ro = jnp.concatenate([ro, jnp.ones((pad, 3), ro.dtype)])
+                rd = jnp.concatenate(
+                    [rd, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))]
+                )
+                for i in range(0, n + pad, chunk):
+                    o = _fast(p, ro[i : i + chunk], rd[i : i + chunk])
+                    outs["rgb"].append(o["rgb"])
+                    outs["depth"].append(o["depth"])
+                return {
+                    "rgb": jnp.concatenate(outs["rgb"])[:n],
+                    "depth": jnp.concatenate(outs["depth"])[:n],
+                }
+        else:
+            render = jax.jit(
+                lambda p, ro, rd: render_rays_chunked(
+                    p, ro, rd, jax.random.PRNGKey(0), fcfg, rcfg, bg,
+                    chunk=opt.batch_size,
+                )
+            )
 
     center, up = np.zeros(3), np.array([0.0, 1.0, 0.0])
     body_poses, _ = default_360_path(center, up, CANONICAL_CAMERA_DIST_VAL, opt.trajectory_resolution)
     head_poses, _ = default_360_path(
         center + np.array([0.0, 1.0, 0.0]) * CAN_HEAD_OFFSET, up,
         CAN_HEAD_CAMERA_DIST, opt.trajectory_resolution,
-    )
-
-    render = jax.jit(
-        lambda p, ro, rd: render_rays_chunked(
-            p, ro, rd, jax.random.PRNGKey(0), fcfg, rcfg,
-            1.0 if opt.white_bkg else 0.0, chunk=opt.batch_size,
-        )
     )
 
     exp_dir = os.path.join(opt.out_dir, "canonical_360", opt.exp_name)

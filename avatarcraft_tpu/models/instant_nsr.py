@@ -614,6 +614,7 @@ def render_rays_chunked(
     rcfg: RenderConfig,
     bg_color: jnp.ndarray | float = 1.0,
     chunk: int = 4096,
+    field: FieldFns | None = None,
 ) -> dict:
     """Render an arbitrary number of rays in fixed-size chunks via lax.map.
 
@@ -642,7 +643,7 @@ def render_rays_chunked(
         else:
             ro, rd, k = args
             bg = bg_color
-        out = render_rays(params, ro, rd, k, fcfg, rcfg, bg)
+        out = render_rays(params, ro, rd, k, fcfg, rcfg, bg, field=field)
         return {
             "rgb": out["rgb"],
             "depth": out["depth"],
@@ -712,7 +713,9 @@ class FastRenderConfig:
     k_samples: int = 32
     bound: float = 1.6
     fd_epsilon: float = 0.005
-    occ_threshold: float = 0.5  # fraction of grid mean used as cutoff
+    # absolute density cutoff, applied as min(occ_threshold, mean(grid)) --
+    # the reference marcher's rule (raymarching.cu:21,75: DENSITY_THRESH=10)
+    occ_threshold: float = 10.0
     cos_anneal_ratio: float = 1.0
 
 
@@ -751,7 +754,7 @@ def render_rays_fast(
     z_probe = near + (far - near) * t[None, :]
     p_probe = rays_o[:, None, :] + rays_d[:, None, :] * z_probe[..., None]
     occ = occupancy_lookup(density_grid, p_probe, bound)
-    thresh = cfg.occ_threshold * jnp.mean(density_grid)
+    thresh = jnp.minimum(cfg.occ_threshold, jnp.mean(density_grid))
 
     z_sel, valid = select_occupied_samples(z_probe, occ, cfg.k_samples, thresh)
 

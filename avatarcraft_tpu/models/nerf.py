@@ -35,7 +35,7 @@ class NeRFConfig:
     @property
     def pos_dim(self) -> int:
         if self.mapping == "rotate":
-            return 3 + 2 * self.multires * 6
+            return 3 + 6 * self.multires  # reference: models/nerf.py:45-59
         return freq_encode_dim(self.multires)
 
     @property
@@ -57,7 +57,11 @@ def init_nerf_params(key: jax.Array, cfg: NeRFConfig) -> dict:
     in_dim = cfg.pos_dim
     for l in range(cfg.depth):
         trunk.append(linear(in_dim, cfg.width))
-        in_dim = cfg.width + (cfg.pos_dim if l + 1 == cfg.skip_layer else 0)
+        # reference (models/nerf.py: skips=[4]) concatenates AFTER trunk layer
+        # `skip_layer`, widening the NEXT layer's input by pos_dim (a skip at
+        # the final trunk layer would feed nothing, so it is ignored there)
+        skip_here = l == cfg.skip_layer and l < cfg.depth - 1
+        in_dim = cfg.pos_dim + cfg.width if skip_here else cfg.width
     params = {"trunk": trunk, "sigma": linear(cfg.width, 1)}
     if cfg.use_viewdirs:
         params["feature"] = linear(cfg.width, cfg.width)
@@ -82,8 +86,9 @@ def nerf_forward(
     h = enc
     for l, layer in enumerate(params["trunk"]):
         h = jax.nn.relu(h @ layer["w"].T + layer["b"])
-        if l + 1 == cfg.skip_layer:
-            h = jnp.concatenate([h, enc], axis=-1)
+        if l == cfg.skip_layer and l < cfg.depth - 1:
+            # reference order torch.cat([input_pts, h]) (models/nerf.py)
+            h = jnp.concatenate([enc, h], axis=-1)
     sigma = h @ params["sigma"]["w"].T + params["sigma"]["b"]
     if cfg.use_viewdirs:
         assert d is not None

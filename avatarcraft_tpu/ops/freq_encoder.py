@@ -33,32 +33,28 @@ def freq_encode(
     return jnp.concatenate(feats, axis=-1)
 
 
-def rotated_fourier_basis(input_dims: int = 3) -> np.ndarray:
-    """The 45-degree-rotated basis of the legacy NeRF 'rotate' mapping.
-
-    Returns a [D, 2D] matrix B such that encoding uses x @ B instead of the
-    axis-aligned identity basis (reference: models/nerf.py:45-59).
+def rotated_fourier_bvals(multires: int, min_freq: float = 0.0) -> np.ndarray:
+    """The 'rotate' mapping's frequency matrix B [3*multires, 3]
+    (reference: models/nerf.py:45-59): per-frequency axis-aligned bases
+    2^k * eye(3), all rotated by the fixed composite Rz(45deg) then Rx(45deg).
     """
-    eye = np.eye(input_dims, dtype=np.float32)
-    rot = []
-    for i in range(input_dims):
-        for j in range(i + 1, input_dims):
-            v = np.zeros(input_dims, dtype=np.float32)
-            v[i] = v[j] = 1.0 / np.sqrt(2.0)
-            rot.append(v)
-    basis = np.concatenate([eye, np.stack(rot, 0)], axis=0)  # [D + C(D,2), D]
-    return basis.T.astype(np.float32)
+    bvals = 2.0 ** np.linspace(min_freq, multires - 1.0, num=multires)
+    bvals = np.reshape(
+        np.eye(3) * bvals[:, None, None], [multires * 3, 3]
+    )
+    s = np.sqrt(2.0) / 2.0
+    rot_z = np.array([[s, -s, 0.0], [s, s, 0.0], [0.0, 0.0, 1.0]])
+    rot_x = np.array([[1.0, 0.0, 0.0], [0.0, s, -s], [0.0, s, s]])
+    return (bvals @ rot_z.T @ rot_x.T).astype(np.float32)
 
 
 def freq_encode_rotated(
     x: jnp.ndarray, multires: int, include_input: bool = True
 ) -> jnp.ndarray:
-    """Frequency encoding over the rotated Fourier basis ('rotate' mapping)."""
-    basis = jnp.asarray(rotated_fourier_basis(x.shape[-1]))
-    proj = x @ basis
-    freqs = 2.0 ** np.arange(multires, dtype=np.float32)
-    feats = [x] if include_input else []
-    for f in freqs:
-        feats.append(jnp.sin(proj * f))
-        feats.append(jnp.cos(proj * f))
+    """The 'rotate' Fourier mapping: [x, sin(x @ B.T), cos(x @ B.T)] with the
+    reference's rotated per-frequency basis (3 + 6*multires output dims; all
+    sines precede all cosines, reference: models/nerf.py:84-90)."""
+    bvals = jnp.asarray(rotated_fourier_bvals(multires))
+    proj = x @ bvals.T
+    feats = ([x] if include_input else []) + [jnp.sin(proj), jnp.cos(proj)]
     return jnp.concatenate(feats, axis=-1)

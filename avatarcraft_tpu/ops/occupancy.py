@@ -92,21 +92,29 @@ def select_occupied_samples(
     k: int,
     threshold: jnp.ndarray | float,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Keep the k nearest occupied probes per ray, z-ordered.
+    """k occupied probes per ray, EVENLY SPACED across the occupied extent.
 
-    Returns (z_sel [N,k], valid [N,k] bool). Rays with fewer than k occupied
-    probes get their remaining slots masked invalid; rays with more keep the
-    k NEAREST (front-to-back, matching the early-termination bias of the
-    reference CUDA marcher).
+    Returns (z_sel [N,k], valid [N,k] bool), z-ordered. Matches the CUDA
+    marcher's semantics (dt ~ span/steps with empty voxels skipped,
+    reference: raymarching/src/raymarching.cu:100-149): when more than k
+    probes are occupied, the budget spreads evenly over ALL of them — taking
+    the k nearest instead would confine sampling to the near fraction of the
+    ray whenever the grid is dense (e.g. a freshly-initialized saturated
+    grid), so the subject would never be sampled. Rays with fewer than k
+    occupied probes use them all front-to-back and mask the remaining slots.
     """
     N, M = z_vals.shape
     occupied = occ > threshold
-    # score: occupied probes first, then by depth (near first). top_k of the
-    # negated score returns ascending scores => already front-to-back among
-    # the occupied probes (every occupied score < every empty score).
-    big = jnp.float32(1e9)
-    score = jnp.where(occupied, z_vals, big + z_vals)
-    neg_top, order = jax.lax.top_k(-score, k)  # [N, k]
-    z_sel = jnp.take_along_axis(z_vals, order, axis=-1)
-    valid = -neg_top < big
+    cum = jnp.cumsum(occupied.astype(jnp.int32), axis=-1)  # [N, M]
+    n_occ = cum[:, -1:]  # [N, 1]
+    i = jnp.arange(k, dtype=jnp.int32)[None, :]  # [1, k]
+    spread = ((i.astype(jnp.float32) + 0.5) * n_occ.astype(jnp.float32) / k).astype(
+        jnp.int32
+    )
+    r = jnp.where(n_occ > k, spread, jnp.minimum(i, jnp.maximum(n_occ - 1, 0)))
+    valid = i < n_occ
+    # index of the (r+1)-th occupied probe: first j with cum[j] >= r+1
+    j = jax.vmap(lambda c, t: jnp.searchsorted(c, t, side="left"))(cum, r + 1)
+    j = jnp.clip(j, 0, M - 1)
+    z_sel = jnp.take_along_axis(z_vals, j, axis=-1)
     return z_sel, valid

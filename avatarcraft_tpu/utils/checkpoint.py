@@ -164,3 +164,108 @@ def safe_load_params(path: str, like: dict | None = None) -> dict:
     if os.path.isdir(path):
         return load_checkpoint(path, like)
     return load_torch_checkpoint(path)
+
+
+# ---------------------------------------------------------------------------
+# Self-describing checkpoints: FieldConfig travels with the params
+# ---------------------------------------------------------------------------
+
+
+def field_config_to_dict(fcfg) -> dict:
+    import dataclasses
+
+    d = dataclasses.asdict(fcfg)
+    return d
+
+
+def field_config_from_dict(d: dict):
+    from avatarcraft_tpu.models.instant_nsr import FieldConfig
+    from avatarcraft_tpu.ops.grid_encoder import PyramidSpec
+    from avatarcraft_tpu.ops.hash_encoder import HashGridSpec
+
+    d = dict(d)
+    if "grid" in d:
+        d["grid"] = HashGridSpec(**{
+            k: tuple(v) if isinstance(v, list) else v for k, v in d["grid"].items()
+        })
+    if "pyramid" in d:
+        d["pyramid"] = PyramidSpec(**{
+            k: tuple(v) if isinstance(v, list) else v for k, v in d["pyramid"].items()
+        })
+    return FieldConfig(**d)
+
+
+def infer_field_config(params: dict):
+    """Recover a FieldConfig from the params pytree alone (legacy
+    checkpoints without a sidecar): encoder type + pyramid geometry come from
+    array shapes; MLP widths/depths from the layer list; ``use_viewdirs`` /
+    ``include_input`` from the in-dims. Hash-table internals are not
+    separable from the flat table, so the reference HashGridSpec defaults
+    apply there (they are the only configuration the reference ships)."""
+    from avatarcraft_tpu.models.instant_nsr import FieldConfig
+    from avatarcraft_tpu.ops.grid_encoder import PyramidSpec
+
+    kw = {}
+    if "table" in params:
+        kw["encoder"] = "hashgrid"
+        enc_dim = FieldConfig().grid.output_dim
+    else:
+        grids = params.get("grids", [])
+        planes = params.get("planes", [])
+        spec = PyramidSpec(
+            grid_resolutions=tuple(int(g.shape[0]) for g in grids),
+            grid_dim=int(grids[0].shape[-1]) if grids else 0,
+            plane_resolutions=tuple(int(p.shape[1]) for p in planes),
+            plane_dim=int(planes[0].shape[-1]) if planes else 0,
+        )
+        kw["encoder"] = "tpu_pyramid"
+        kw["pyramid"] = spec
+        enc_dim = spec.output_dim
+
+    sdf = params["sdf"]
+    kw["num_layers"] = len(sdf)
+    kw["hidden_dim"] = int(sdf[0]["v"].shape[0]) if len(sdf) > 1 else 64
+    kw["geo_feat_dim"] = int(sdf[-1]["v"].shape[0]) - 1
+    sdf_in = int(sdf[0]["v"].shape[1])
+    kw["include_input"] = sdf_in == enc_dim + 3
+
+    color = params["color"]
+    kw["num_layers_color"] = len(color)
+    kw["hidden_dim_color"] = int(color[0]["v"].shape[0]) if len(color) > 1 else 64
+    color_in = int(color[0]["v"].shape[1])
+    base = 3 + 3 + kw["geo_feat_dim"]  # [x, normal, geo_feat]
+    extra = color_in - base
+    if extra > 0:
+        kw["use_viewdirs"] = True
+        kw["sh_degree"] = int(round(np.sqrt(extra)))
+    else:
+        kw["use_viewdirs"] = False
+    return FieldConfig(**kw)
+
+
+def _sidecar_path(path: str) -> str:
+    return path + ".fieldcfg.json"
+
+
+def save_params_with_config(params: dict, path: str, fcfg=None) -> None:
+    """save_torch_checkpoint + a sidecar JSON carrying the FieldConfig (the
+    state_dict itself stays reference-compatible)."""
+    import json
+
+    save_torch_checkpoint(params, path)
+    if fcfg is not None:
+        with open(_sidecar_path(path), "w") as fp:
+            json.dump(field_config_to_dict(fcfg), fp, indent=1)
+
+
+def load_params_with_config(path: str, like: dict | None = None):
+    """(params, FieldConfig). Config source order: sidecar JSON if present,
+    else inferred from the params shapes (infer_field_config)."""
+    import json
+
+    params = safe_load_params(path, like)
+    sidecar = _sidecar_path(path)
+    if os.path.isfile(sidecar):
+        with open(sidecar) as fp:
+            return params, field_config_from_dict(json.load(fp))
+    return params, infer_field_config(params)

@@ -245,6 +245,7 @@ def train_fast(
     *,
     max_steps: int | None = None,
     grid_update_every: int = 200,
+    grid_warmup_steps: int = 2000,
     grid_resolution: int = 129,
     log_every: int = 50,
     callbacks: dict | None = None,
@@ -339,9 +340,19 @@ def train_fast(
             if log_every and step % log_every == 0:
                 stats["losses"].append((step, float(loss)))
             if grid_update_every and step > 0 and step % grid_update_every == 0:
-                grid = refresh(params, grid)
+                if step < grid_warmup_steps:
+                    # warmup: keep the saturated grid -> uniform sampling
+                    # while the geometry roughs in everywhere
+                    pass
+                elif step < grid_warmup_steps + grid_update_every:
+                    # first real refresh: drop the saturated warmup floor
+                    # entirely (EMA-max from 100 would take ~45 refreshes to
+                    # decay below the occupancy threshold)
+                    grid = refresh(params, jnp.zeros_like(grid))
+                else:
+                    grid = refresh(params, grid)
             if callbacks and "on_step" in callbacks:
-                callbacks["on_step"](step, params, loss)
+                callbacks["on_step"](step, params, loss, grid)
             step += 1
             if state_dir and save_state_every and step % save_state_every == 0:
                 _save_state("state_latest")

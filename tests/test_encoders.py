@@ -55,9 +55,21 @@ def test_freq_encode_layout():
     np.testing.assert_allclose(out[0, -6:-3], np.sin(np.array([0.5, -0.25, 1.0]) * 8), rtol=1e-5)
 
 
-def test_freq_encode_rotated_shape():
-    x = jnp.ones((7, 3)) * 0.1
-    out = freq_encode_rotated(x, 6)
-    # identity(3) + 2 * 6 bands * 6 projected dims
-    assert out.shape == (7, 3 + 2 * 6 * 6)
-    assert np.isfinite(np.asarray(out)).all()
+def test_freq_encode_rotated_matches_reference_math():
+    """[x, sin(x@B.T), cos(x@B.T)] with B = per-freq eye(3) rotated by the
+    fixed Rz(45)Rx(45) composite (reference: models/nerf.py:45-59,84-90)."""
+    multires = 6
+    x = np.array([[0.3, -0.7, 0.2], [0.0, 1.0, -1.0]], np.float32)
+    out = np.asarray(freq_encode_rotated(jnp.asarray(x), multires))
+    assert out.shape == (2, 3 + 6 * multires)
+
+    # independent transcription of the reference basis construction
+    bvals = 2.0 ** np.linspace(0.0, multires - 1.0, num=multires)
+    bvals = np.reshape(np.eye(3) * bvals[:, None, None], [multires * 3, 3])
+    s = np.sqrt(2.0) / 2.0
+    bvals = bvals @ np.array([[s, -s, 0], [s, s, 0], [0, 0, 1]]).T
+    bvals = bvals @ np.array([[1, 0, 0], [0, s, -s], [0, s, s]]).T
+    want = np.concatenate(
+        [x, np.sin(x @ bvals.T), np.cos(x @ bvals.T)], axis=-1
+    )
+    np.testing.assert_allclose(out, want.astype(np.float32), atol=1e-5)

@@ -58,17 +58,39 @@ def test_occupancy_lookup_nearest_cell():
     assert occ[2] == 7.0  # rounds to the center cell (cell size 0.2)
 
 
-def test_select_occupied_front_to_back():
+def test_select_occupied_evenly_spaced():
     z = jnp.asarray([[1.0, 2.0, 3.0, 4.0, 5.0, 6.0]])
     occ = jnp.asarray([[0.0, 9.0, 0.0, 9.0, 9.0, 9.0]])
+    # 4 occupied (z=2,4,5,6), k=3: even ranks floor((i+.5)*4/3) = 0,2,3
     z_sel, valid = select_occupied_samples(z, occ, k=3, threshold=1.0)
-    np.testing.assert_array_equal(np.asarray(z_sel)[0], [2.0, 4.0, 5.0])
+    np.testing.assert_array_equal(np.asarray(z_sel)[0], [2.0, 5.0, 6.0])
     assert np.asarray(valid).all()
-    # fewer occupied than k: mask tail
+    # fewer occupied than k: all used front-to-back, tail masked
     occ2 = jnp.asarray([[0.0, 9.0, 0.0, 0.0, 0.0, 0.0]])
     z2, v2 = select_occupied_samples(z, occ2, k=3, threshold=1.0)
     assert np.asarray(v2)[0].tolist() == [True, False, False]
     assert float(z2[0, 0]) == 2.0
+    # none occupied: everything masked
+    z3, v3 = select_occupied_samples(z, jnp.zeros_like(occ), k=3, threshold=1.0)
+    assert not np.asarray(v3).any()
+
+
+def test_select_saturated_grid_covers_whole_ray():
+    """Regression: with EVERY probe occupied (fresh saturated grid), the k
+    samples must span the whole ray, not its first k probes — otherwise
+    training never reaches the subject."""
+    M, k = 128, 32
+    z = jnp.linspace(0.2, 3.4, M)[None, :]
+    occ = jnp.full((1, M), 100.0)
+    z_sel, valid = select_occupied_samples(z, occ, k, threshold=10.0)
+    assert np.asarray(valid).all()
+    zs = np.asarray(z_sel)[0]
+    assert zs[0] < 0.35  # starts near the front
+    assert zs[-1] > 3.2  # reaches the far end
+    # near-uniform spacing
+    d = np.diff(zs)
+    assert d.max() < 0.2 and d.min() > 0.05
+    assert (d > 0).all()
 
 
 def test_sdf_tetra_gradient_on_sphere(rng):

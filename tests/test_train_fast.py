@@ -22,7 +22,8 @@ def test_fast_training_reduces_loss(tiny_dataset):  # noqa: F811
     fast_cfg = FastRenderConfig(n_probes=32, k_samples=12, bound=1.6)
     params, grid, stats = train_fast(
         tiny_dataset, TINY_PYR, fast_cfg, cfg,
-        max_steps=60, grid_update_every=25, grid_resolution=17, log_every=1,
+        max_steps=60, grid_update_every=25, grid_warmup_steps=25,
+        grid_resolution=17, log_every=1,
     )
     losses = [l for _, l in stats["losses"]]
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8
