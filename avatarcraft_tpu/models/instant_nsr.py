@@ -72,6 +72,10 @@ class FieldConfig:
     use_viewdirs: bool = False
     sh_degree: int = 4
     variance_init: float = 0.3
+    # matmul input dtype for the tiny MLPs: "bfloat16" feeds the MXU at 2x
+    # rate; accumulation stays fp32 (preferred_element_type), masters stay
+    # fp32, so only the activations/weights are rounded at matmul inputs
+    mlp_dtype: str = "float32"
 
     @property
     def encoder_dim(self) -> int:
@@ -215,9 +219,13 @@ def forward_sdf(
     if cfg.include_input:
         h = jnp.concatenate([x, h], axis=-1)
     n = len(params["sdf"])
+    mdt = jnp.dtype(cfg.mlp_dtype)
     for l, layer in enumerate(params["sdf"]):
         w = _weight_norm_apply(layer)
-        h = h @ w.T + layer["b"]
+        h = (
+            jnp.dot(h.astype(mdt), w.T.astype(mdt), preferred_element_type=jnp.float32)
+            + layer["b"]
+        )
         if l != n - 1:
             h = _softplus100(h)
     return h
@@ -239,9 +247,10 @@ def forward_color(
     else:
         h = jnp.concatenate([x, normal, geo_feat], axis=-1)
     n = len(params["color"])
+    mdt = jnp.dtype(cfg.mlp_dtype)
     for l, layer in enumerate(params["color"]):
         w = _weight_norm_apply(layer)
-        h = h @ w.T
+        h = jnp.dot(h.astype(mdt), w.T.astype(mdt), preferred_element_type=jnp.float32)
         if l != n - 1:
             h = jax.nn.relu(h)
     return jax.nn.sigmoid(h)
@@ -713,6 +722,11 @@ class FastRenderConfig:
     k_samples: int = 32
     bound: float = 1.6
     fd_epsilon: float = 0.005
+    # global sample budget: evaluate the field on at most this many samples
+    # across the whole batch (adaptive K -- rays only spend what the grid
+    # marks occupied; the CUDA marcher's compaction, reference:
+    # raymarching.cu:156-221). 0 = off (all N*K slots evaluated).
+    sample_budget: int = 0
     # absolute density cutoff, applied as min(occ_threshold, mean(grid)) --
     # the reference marcher's rule (raymarching.cu:21,75: DENSITY_THRESH=10)
     occ_threshold: float = 10.0
@@ -734,7 +748,9 @@ def render_rays_fast(
     the network only runs on K grid-occupied samples per ray (static shapes;
     the CUDA marcher's atomic compaction becomes top-K selection)."""
     from avatarcraft_tpu.ops.occupancy import (
+        compact_indices,
         occupancy_lookup,
+        scatter_to_flat,
         select_occupied_samples,
     )
 
@@ -762,10 +778,27 @@ def render_rays_fast(
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_sel[..., None]
     pts = jnp.clip(pts, -bound, bound)
     flat = pts.reshape(-1, 3)
-    sdf, feat, grad = sdf_tetra(field, flat, bound, cfg.fd_epsilon)
-    normal = grad / (1e-5 + _safe_norm(grad))
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape).reshape(-1, 3)
-    color = field.color(flat, dirs, normal, feat)
+    T = flat.shape[0]
+
+    if cfg.sample_budget and cfg.sample_budget < T:
+        # adaptive K: the field only runs on the globally-compacted valid
+        # samples; results scatter back to the padded [N, K] layout
+        sel, kept = compact_indices(valid.reshape(-1), cfg.sample_budget)
+        n_kept = kept.sum()
+        flat_c, dirs_c = flat[sel], dirs[sel]
+        sdf_c, feat_c, grad_c = sdf_tetra(field, flat_c, bound, cfg.fd_epsilon)
+        normal_c = grad_c / (1e-5 + _safe_norm(grad_c))
+        color_c = field.color(flat_c, dirs_c, normal_c, feat_c)
+        sdf = scatter_to_flat(sdf_c, sel, T, n_kept)
+        grad = scatter_to_flat(grad_c, sel, T, n_kept)
+        normal = scatter_to_flat(normal_c, sel, T, n_kept)
+        color = scatter_to_flat(color_c, sel, T, n_kept)
+        valid = kept.reshape(N, cfg.k_samples)
+    else:
+        sdf, feat, grad = sdf_tetra(field, flat, bound, cfg.fd_epsilon)
+        normal = grad / (1e-5 + _safe_norm(grad))
+        color = field.color(flat, dirs, normal, feat)
     inv_s = field.inv_s()
 
     # Invalid (unoccupied) slots sit after the valid ones but carry arbitrary

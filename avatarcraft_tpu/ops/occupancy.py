@@ -86,6 +86,42 @@ def occupancy_lookup(grid: jnp.ndarray, pts: jnp.ndarray, bound: float) -> jnp.n
     return jnp.take(grid.reshape(-1), flat.reshape(-1)).reshape(pts.shape[:-1])
 
 
+def compact_indices(
+    valid_flat: jnp.ndarray, budget: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Deterministic stream compaction (the CUDA marcher's atomicAdd
+    compaction, reference: raymarching.cu:156-221, as cumsum + scatter).
+
+    Returns (sel [budget] int32 indices into the flat array, kept [T] bool).
+    ``kept`` marks entries that made it into the budget; entries beyond the
+    budget are dropped in flat order. Invalid slots of ``sel`` (when fewer
+    than ``budget`` entries are valid) point at index 0 — mask downstream
+    with ``kept`` / slot validity, both deterministic under XLA.
+    """
+    T = valid_flat.shape[0]
+    pos = jnp.cumsum(valid_flat.astype(jnp.int32)) - 1  # rank among valid
+    kept = valid_flat & (pos < budget)
+    write = jnp.where(kept, pos, budget)  # overflow/invalid -> sink slot
+    idx = jnp.arange(T, dtype=jnp.int32)
+    sel = (
+        jnp.zeros((budget + 1,), jnp.int32).at[write].set(idx, mode="drop")[:budget]
+    )
+    return sel, kept
+
+
+def scatter_to_flat(
+    vals: jnp.ndarray, sel: jnp.ndarray, total: int, n_valid_slots: jnp.ndarray
+) -> jnp.ndarray:
+    """Inverse of the compaction gather: place vals [budget, ...] back at
+    their flat positions ([total, ...], zeros elsewhere). Slots of ``sel``
+    beyond ``n_valid_slots`` are routed to a sink row and dropped."""
+    budget = sel.shape[0]
+    slot_ok = jnp.arange(budget) < n_valid_slots
+    dest = jnp.where(slot_ok, sel, total)
+    out_shape = (total + 1,) + vals.shape[1:]
+    return jnp.zeros(out_shape, vals.dtype).at[dest].set(vals, mode="drop")[:total]
+
+
 def select_occupied_samples(
     z_vals: jnp.ndarray,  # [N, M] probe depths
     occ: jnp.ndarray,  # [N, M] densities at the probes

@@ -51,6 +51,8 @@ def render_hybrid_avatar(
     """
     key = key if key is not None else jax.random.PRNGKey(0)
 
+    from avatarcraft_tpu.ops.sampling import near_far_from_bound
+
     if warp_data is not None:
         near, far = geometry_guided_near_far(
             rays_o, rays_d, warp_data.verts, geo_threshold
@@ -59,12 +61,13 @@ def render_hybrid_avatar(
             avatar_params, rays_o, rays_d, key, fcfg, rcfg, 0.0,
             near_far=(near, far), warp_fn=make_warp_fn(warp_data, geo_threshold),
         )
-        near_w = jnp.where(jnp.isinf(near), 0.0, near)
-        far_w = jnp.where(jnp.isinf(far), 1.0, far)
+        # un-normalize with the same fallback render_rays itself used for
+        # rays that miss every vertex sphere: the cube bounds, not 0/1
+        cnear, cfar = near_far_from_bound(rays_o, rays_d, rcfg.bound)
+        near_w = jnp.where(jnp.isinf(near), cnear, near)
+        far_w = jnp.where(jnp.isinf(far), cfar, far)
     else:
         out_a = render_rays(avatar_params, rays_o, rays_d, key, fcfg, rcfg, 0.0)
-        from avatarcraft_tpu.ops.sampling import near_far_from_bound
-
         near_w, far_w = near_far_from_bound(rays_o, rays_d, rcfg.bound)
 
     # avatar depth is normalized (z-near)/(far-near): undo to world t
@@ -98,14 +101,21 @@ def render_hybrid_multi_persons(
     rays_o: jnp.ndarray,
     rays_d: jnp.ndarray,
     key: jax.Array | None = None,
+    bkg_near: float = 0.5,
+    bkg_far: float = 6.0,
 ) -> dict:
     """Multiple warped avatars + background, nearest-surface-wins
     (reference: utils/render_utils.py:815-913).
 
     ``avatars``: list of dicts with keys params/fcfg/rcfg/warp_data.
+    One shared (bkg_near, bkg_far) range is used for the outer background
+    and every per-avatar hybrid pass so their depths agree.
     """
     key = key if key is not None else jax.random.PRNGKey(0)
-    out_b = render_nerf_rays(bkg_params, rays_o, rays_d, bkg_cfg, white_bkg=True)
+    out_b = render_nerf_rays(
+        bkg_params, rays_o, rays_d, bkg_cfg, near=bkg_near, far=bkg_far,
+        white_bkg=True,
+    )
     rgb = out_b["rgb"]
     # empty-sky rays have ~zero accumulated weight and meaningless depth
     depth = jnp.where(out_b["acc"] > 0.05, out_b["depth"], jnp.inf)
@@ -115,6 +125,7 @@ def render_hybrid_multi_persons(
         res = render_hybrid_avatar(
             av["params"], av["fcfg"], av["rcfg"], bkg_params, bkg_cfg,
             rays_o, rays_d, warp_data=av.get("warp_data"), key=sub,
+            bkg_near=bkg_near, bkg_far=bkg_far,
         )
         nearer = res["avatar_mask"] & (res["depth"] < depth)
         rgb = jnp.where(nearer[:, None], res["rgb"], rgb)

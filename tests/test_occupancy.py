@@ -147,3 +147,76 @@ def test_fast_render_miss_rays_background():
         grid, bg_color=jnp.asarray([[0.1, 0.2, 0.3]]), field=sphere_field(0.5),
     )
     np.testing.assert_allclose(np.asarray(out["rgb"][0]), [0.1, 0.2, 0.3], atol=0.01)
+
+
+def test_compact_indices_roundtrip():
+    from avatarcraft_tpu.ops.occupancy import compact_indices, scatter_to_flat
+
+    valid = jnp.asarray([False, True, True, False, True, False, True, True])
+    sel, kept = compact_indices(valid, budget=4)
+    np.testing.assert_array_equal(np.asarray(sel), [1, 2, 4, 6])
+    # entry 7 is valid but over budget -> dropped
+    np.testing.assert_array_equal(
+        np.asarray(kept), [False, True, True, False, True, False, True, False]
+    )
+    vals = jnp.arange(4, dtype=jnp.float32)[:, None] + 10.0
+    full = scatter_to_flat(vals, sel, total=8, n_valid_slots=kept.sum())
+    want = np.zeros((8, 1), np.float32)
+    want[[1, 2, 4, 6], 0] = [10, 11, 12, 13]
+    np.testing.assert_array_equal(np.asarray(full), want)
+
+    # budget larger than n_valid: tail slots are sinks, nothing stomped
+    sel2, kept2 = compact_indices(valid, budget=8)
+    assert np.asarray(kept2).sum() == 5
+    vals2 = jnp.full((8, 1), 7.0)
+    full2 = scatter_to_flat(vals2, sel2, total=8, n_valid_slots=kept2.sum())
+    assert float(full2[0, 0]) == 0.0  # index 0 is invalid, must stay zero
+
+
+def test_render_fast_budget_equivalence():
+    """With budget >= total valid samples, the compacted render is identical
+    to the uncompacted one."""
+    import dataclasses
+
+    from avatarcraft_tpu.models.instant_nsr import (
+        FastRenderConfig,
+        FieldConfig,
+        init_field_params,
+        render_rays_fast,
+    )
+    from avatarcraft_tpu.ops.grid_encoder import PyramidSpec
+
+    fcfg = FieldConfig(
+        encoder="tpu_pyramid",
+        pyramid=PyramidSpec(
+            grid_resolutions=(8, 16), grid_dim=2, plane_resolutions=(33,), plane_dim=2
+        ),
+        packed_dtype="float32",
+    )
+    params = init_field_params(jax.random.PRNGKey(0), fcfg)
+    key = jax.random.PRNGKey(1)
+    rays_o = jnp.asarray([[0.0, 0.0, -2.0]] * 8) + jax.random.normal(key, (8, 3)) * 0.05
+    rays_d = jnp.asarray([[0.0, 0.0, 1.0]] * 8)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    # grid occupied only in a central blob -> some rays have few samples
+    grid = np.zeros((17, 17, 17), np.float32)
+    grid[6:11, 6:11, 6:11] = 50.0
+    grid = jnp.asarray(grid)
+
+    cfg0 = FastRenderConfig(n_probes=24, k_samples=8, bound=1.6, sample_budget=0)
+    cfg1 = dataclasses.replace(cfg0, sample_budget=8 * 8)  # >= all slots
+    out0 = render_rays_fast(params, rays_o, rays_d, fcfg, cfg0, grid, 1.0)
+    out1 = render_rays_fast(params, rays_o, rays_d, fcfg, cfg1, grid, 1.0)
+    np.testing.assert_allclose(np.asarray(out0["rgb"]), np.asarray(out1["rgb"]), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out0["depth"]), np.asarray(out1["depth"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(out0["gradient_error"]), float(out1["gradient_error"]), rtol=1e-4
+    )
+
+    # tight budget still renders finite images
+    cfg2 = dataclasses.replace(cfg0, sample_budget=16)
+    out2 = render_rays_fast(params, rays_o, rays_d, fcfg, cfg2, grid, 1.0)
+    assert np.isfinite(np.asarray(out2["rgb"])).all()
