@@ -79,7 +79,7 @@ def main(argv=None):
         extract_geometry,
         render_rays_chunked,
     )
-    from avatarcraft_tpu.utils.checkpoint import save_torch_checkpoint
+    from avatarcraft_tpu.utils.checkpoint import save_params_with_config
     from avatarcraft_tpu.utils.mesh_export import save_ply
     from avatarcraft_tpu.utils.metrics import integerify_img
     from avatarcraft_tpu.workloads.reconstruct import (
@@ -162,7 +162,7 @@ def main(argv=None):
             log_val(step, params, grid)
         if (step + 1) % opt.i_save == 0:
             path = os.path.join(exp_dir, f"{opt.exp_name}_{step + 1:04d}.pth.tar")
-            save_torch_checkpoint(jax.device_get(params), path)
+            save_params_with_config(jax.device_get(params), path, fcfg)
             print(f"weights saved: {path}")
         if (step + 1) % opt.i_mesh == 0:
             verts, faces = extract_geometry(params, fcfg, NSR_BOUND, opt.mesh_resolution)
@@ -194,7 +194,7 @@ def main(argv=None):
         )
 
     final = os.path.join(exp_dir, f"{opt.exp_name}_final.pth.tar")
-    save_torch_checkpoint(jax.device_get(params), final)
+    save_params_with_config(jax.device_get(params), final, fcfg)
     print(f"weights saved: {final}")
     print(
         f"done: {stats['steps']} steps, {stats.get('steps_per_sec', 0):.2f} steps/s, "

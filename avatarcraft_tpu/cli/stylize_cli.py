@@ -53,6 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--fine_head", default=0.5, type=float)
     parser.add_argument("--max_steps", default=None, type=int)
     parser.add_argument("--out_dir", default="./style/canonical_360", type=str)
+    parser.add_argument("--sampler", default="parity", choices=["parity", "fast"],
+                        help="fast = occupancy-guided K-sample SDS (TPU flagship)")
+    parser.add_argument("--grid_path", default=None, type=str,
+                        help="density grid .npy from reconstruct (fast sampler; "
+                             "refreshed from the field when omitted)")
+    parser.add_argument("--encoder", default=None, choices=["hashgrid", "tpu_pyramid"],
+                        help="override the checkpoint's (inferred) encoder")
     return parser
 
 
@@ -89,7 +96,7 @@ def main(argv=None):
         extract_geometry,
         render_rays_chunked,
     )
-    from avatarcraft_tpu.utils.checkpoint import safe_load_params, save_torch_checkpoint
+    from avatarcraft_tpu.utils.checkpoint import save_params_with_config
     from avatarcraft_tpu.utils.mesh_export import save_ply
     from avatarcraft_tpu.utils.metrics import integerify_img
     from avatarcraft_tpu.workloads.stylize import StylizeConfig, StylizeTrainer
@@ -97,9 +104,15 @@ def main(argv=None):
     if opt.guidance_type == "clip":
         raise NotImplementedError("CLIP guidance is dead in the reference too")
 
-    fcfg = FieldConfig()
+    from avatarcraft_tpu.utils.checkpoint import load_params_with_config
+
     assert opt.weights_path, "--weights_path (pretrained canonical field) is required"
-    params_gt = safe_load_params(opt.weights_path)
+    params_gt, fcfg = load_params_with_config(opt.weights_path)
+    if opt.encoder and opt.encoder != fcfg.encoder:
+        import dataclasses as _dc
+
+        fcfg = _dc.replace(fcfg, encoder=opt.encoder)
+    print(f"[stylize] field: encoder={fcfg.encoder}")
     params_style = jax.tree_util.tree_map(lambda x: x.copy(), params_gt)
 
     cfg = StylizeConfig(
@@ -119,9 +132,17 @@ def main(argv=None):
         augment_cam=opt.augment_cam,
         augment_text=opt.augment_text,
         white_bkg=opt.white_bkg,
+        sampler=opt.sampler,
     )
 
-    trainer = StylizeTrainer(cfg, fcfg, build_guidance(opt), params_style, params_gt)
+    grid = None
+    if opt.sampler == "fast" and opt.grid_path:
+        import jax.numpy as jnp
+
+        grid = jnp.asarray(np.load(opt.grid_path))
+    trainer = StylizeTrainer(
+        cfg, fcfg, build_guidance(opt), params_style, params_gt, grid=grid
+    )
     exp_dir = os.path.join(opt.out_dir, opt.exp_name)
     os.makedirs(exp_dir, exist_ok=True)
 
@@ -148,7 +169,7 @@ def main(argv=None):
             log_img(step, params)
         if (step + 1) % opt.i_save == 0:
             path = os.path.join(exp_dir, f"{opt.exp_name}_{step + 1:04d}.pth.tar")
-            save_torch_checkpoint(jax.device_get(params), path)
+            save_params_with_config(jax.device_get(params), path, fcfg)
             print(f"weights saved: {path}")
         if (step + 1) % opt.i_mesh == 0:
             verts, faces = extract_geometry(params, fcfg, NSR_BOUND, 512)
@@ -156,7 +177,7 @@ def main(argv=None):
 
     steps = trainer.train(max_steps=opt.max_steps, on_step=on_step)
     final = os.path.join(exp_dir, f"{opt.exp_name}_final.pth.tar")
-    save_torch_checkpoint(jax.device_get(trainer.params_style), final)
+    save_params_with_config(jax.device_get(trainer.params_style), final, fcfg)
     print(f"finished {steps} SDS steps; weights saved: {final}")
 
 

@@ -25,48 +25,65 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 
 def _ring_all_gather_kernel(
-    local_ref, out_ref, comm_buf, send_sem, recv_sem, *, axis_name: str
+    local_ref, out_ref, comm_buf, send_sem, recv_sem, copy_sem, *, axis_name: str
 ):
     """Each device contributes its [S, F] shard; out is [n, S, F].
 
     Unidirectional ring: at step k, forward the chunk received at step k-1 to
-    the right neighbor while depositing it locally.
+    the right neighbor while depositing it locally. ``local_ref``/``out_ref``
+    live in ANY (HBM) and are only touched via DMA; ``comm_buf`` is the
+    2-slot VMEM staging buffer the RDMAs flow through.
     """
     n = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
 
-    # deposit own shard
-    out_ref[me] = local_ref[:]
-    comm_buf[0] = local_ref[:]
+    # stage own shard into slot 0, deposit it into out[me]
+    cp_in = pltpu.make_async_copy(local_ref, comm_buf.at[0], copy_sem)
+    cp_in.start()
+    cp_in.wait()
+    cp_own = pltpu.make_async_copy(comm_buf.at[0], out_ref.at[me], copy_sem)
+    cp_own.start()
+    cp_own.wait()
 
     def step(k, _):
-        send_slot = k % 2
-        recv_slot = (k + 1) % 2
+        send_slot = jax.lax.rem(k, 2)
+        recv_slot = jax.lax.rem(k + 1, 2)
         dst = jax.lax.rem(me + 1, n)
         rdma = pltpu.make_async_remote_copy(
             src_ref=comm_buf.at[send_slot],
             dst_ref=comm_buf.at[recv_slot],
             send_sem=send_sem.at[send_slot],
             recv_sem=recv_sem.at[recv_slot],
-            device_id=(dst,),
+            device_id=dst,
             device_id_type=pltpu.DeviceIdType.LOGICAL,
         )
         rdma.start()
         rdma.wait()
         src_device = jax.lax.rem(me - k - 1 + 2 * n, n)
-        out_ref[src_device] = comm_buf[recv_slot]
+        cp = pltpu.make_async_copy(
+            comm_buf.at[recv_slot], out_ref.at[src_device], copy_sem
+        )
+        cp.start()
+        cp.wait()
         return 0
 
     jax.lax.fori_loop(0, n - 1, step, 0)
 
 
-def ring_all_gather(x: jnp.ndarray, axis_name: str, *, interpret: bool = False) -> jnp.ndarray:
+def ring_all_gather(
+    x: jnp.ndarray, axis_name: str, *, interpret: bool | object = False
+) -> jnp.ndarray:
     """All-gather [S, F] shards into [n*S, F] via a Pallas ICI ring.
 
     Must run inside shard_map over a 1-D mesh axis ``axis_name``.
+    ``interpret``: False (compiled TPU), or a ``pltpu.InterpretParams`` to run
+    the SAME kernel — remote DMAs, semaphores and all — under the TPU
+    interpreter on a CPU mesh (optionally with race detection).
     """
     n = jax.lax.axis_size(axis_name)
     S, F = x.shape
+    if interpret is True:
+        interpret = pltpu.InterpretParams()
 
     out = pl.pallas_call(
         functools.partial(_ring_all_gather_kernel, axis_name=axis_name),
@@ -77,6 +94,7 @@ def ring_all_gather(x: jnp.ndarray, axis_name: str, *, interpret: bool = False) 
             pltpu.VMEM((2, S, F), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, collective_id=7

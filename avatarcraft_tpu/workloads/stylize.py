@@ -74,6 +74,11 @@ class StylizeConfig:
     augment_text: bool = True
     white_bkg: bool = True
     seed: int = 42
+    # sampler: "parity" = the reference 64+64 importance pipeline;
+    # "fast" = occupancy-guided K-sample rendering (TPU flagship — needs a
+    # density grid, refreshed during training since SDS reshapes geometry)
+    sampler: str = "parity"
+    grid_update_every: int = 200  # fast sampler only
 
 
 def make_phaseA_render(fcfg: FieldConfig, rcfg: RenderConfig, chunk: int):
@@ -170,15 +175,104 @@ def make_phaseB_step(
     return step
 
 
+def make_phaseA_render_fast(fcfg: FieldConfig, fast_cfg, chunk: int):
+    """Occupancy-guided full-frame render (phase A, no grads)."""
+    from avatarcraft_tpu.models.instant_nsr import render_rays_fast
+
+    @jax.jit
+    def phaseA(params, rays_o, rays_d, bg, grid, key):
+        n = rays_o.shape[0]
+        n_chunks = n // chunk
+
+        def body(args):
+            ro, rd, bgc = args
+            out = render_rays_fast(params, ro, rd, fcfg, fast_cfg, grid, bgc)
+            return out["rgb"], out["depth"]
+
+        rgb, depth = jax.lax.map(
+            body,
+            (
+                rays_o.reshape(n_chunks, chunk, 3),
+                rays_d.reshape(n_chunks, chunk, 3),
+                bg.reshape(n_chunks, chunk, 3),
+            ),
+        )
+        return (
+            jax.lax.stop_gradient(rgb.reshape(n, 3)),
+            jax.lax.stop_gradient(depth.reshape(n)),
+        )
+
+    return phaseA
+
+
+def make_phaseB_step_fast(
+    fcfg: FieldConfig,
+    fast_cfg,
+    tx: optax.GradientTransformation,
+    w_eikonal: float,
+    use_opacity: bool,
+    chunk: int,
+):
+    """Fast-sampler phase B: same VJP-injection + regularizers as
+    make_phaseB_step but through render_rays_fast against the density grid."""
+    from avatarcraft_tpu.models.instant_nsr import render_rays_fast
+
+    def patch_loss(params, params_gt, ro, rd, g_rgb, bg, grid):
+        out = render_rays_fast(params, ro, rd, fcfg, fast_cfg, grid, bg)
+        sds_term = jnp.vdot(out["rgb"], g_rgb)
+        loss = sds_term + w_eikonal * out["gradient_error"]
+        if use_opacity:
+            out_gt = render_rays_fast(params_gt, ro, rd, fcfg, fast_cfg, grid, bg)
+            op_pred = jnp.clip(out["weight_sum"], 0.0, 1.0)
+            op_gt = jax.lax.stop_gradient(jnp.clip(out_gt["weight_sum"], 0.0, 1.0))
+            d = op_pred - op_gt
+            ad = jnp.abs(d)
+            loss = loss + jnp.mean(jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5)) * 1e5
+        return loss
+
+    @jax.jit
+    def step(params, params_gt, opt_state, rays_o, rays_d, g_rgb, bg, grid, key):
+        n = rays_o.shape[0]
+        n_patches = n // chunk
+        grad_fn = jax.grad(patch_loss)
+
+        def body(args):
+            ro, rd, g, bgc = args
+            return grad_fn(params, params_gt, ro, rd, g, bgc, grid)
+
+        patch_grads = jax.lax.map(
+            body,
+            (
+                rays_o.reshape(n_patches, chunk, 3),
+                rays_d.reshape(n_patches, chunk, 3),
+                g_rgb.reshape(n_patches, chunk, 3),
+                bg.reshape(n_patches, chunk, 3),
+            ),
+        )
+        grads = jax.tree_util.tree_map(lambda g: g.sum(axis=0), patch_grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state
+
+    return step
+
+
 @dataclasses.dataclass
 class StylizeTrainer:
-    """Orchestrates the per-view SDS update (host-side schedule, jitted math)."""
+    """Orchestrates the per-view SDS update (host-side schedule, jitted math).
+
+    ``grid``: density grid for the fast sampler (from the canonical
+    checkpoint's reconstruction, or refreshed from the loaded field); it is
+    re-refreshed every ``cfg.grid_update_every`` SDS steps because SDS can
+    reshape the geometry."""
 
     cfg: StylizeConfig
     fcfg: FieldConfig
     guidance: SDSGuidance
     params_style: dict
     params_gt: dict
+    grid: jnp.ndarray | None = None
+    fast_cfg: object | None = None
 
     def __post_init__(self):
         c = self.cfg
@@ -190,9 +284,27 @@ class StylizeTrainer:
         self.rng = np.random.default_rng(c.seed)
         self.key = jax.random.PRNGKey(c.seed)
         self._phaseA = {}
-        self._phaseB = make_phaseB_step(
-            self.fcfg, self.rcfg, self.tx, c.w_eikonal, c.use_opacity, c.batch_size
-        )
+        if c.sampler == "fast":
+            from avatarcraft_tpu.models.instant_nsr import FastRenderConfig
+
+            if self.fast_cfg is None:
+                self.fast_cfg = FastRenderConfig(bound=NSR_BOUND)
+            self._phaseB = make_phaseB_step_fast(
+                self.fcfg, self.fast_cfg, self.tx, c.w_eikonal, c.use_opacity,
+                c.batch_size,
+            )
+            from avatarcraft_tpu.workloads.reconstruct import make_grid_update_fn
+
+            self._refresh_grid = make_grid_update_fn(self.fcfg, NSR_BOUND)
+            if self.grid is None:
+                self.grid = self._refresh_grid(
+                    self.params_style, jnp.zeros((129,) * 3, jnp.float32)
+                )
+        else:
+            self._phaseB = make_phaseB_step(
+                self.fcfg, self.rcfg, self.tx, c.w_eikonal, c.use_opacity, c.batch_size
+            )
+        self._step_count = 0
         self._text_cache: dict[str, jnp.ndarray] = {}
 
     # -- schedule -----------------------------------------------------------
@@ -245,13 +357,21 @@ class StylizeTrainer:
 
         # Phase A: full-frame render + SDS image gradient
         chunk = min(c.batch_size, n_rays)
+        fast = c.sampler == "fast"
         if (n_rays, chunk) not in self._phaseA:
-            self._phaseA[(n_rays, chunk)] = make_phaseA_render(
-                self.fcfg, self.rcfg, chunk
+            self._phaseA[(n_rays, chunk)] = (
+                make_phaseA_render_fast(self.fcfg, self.fast_cfg, chunk)
+                if fast
+                else make_phaseA_render(self.fcfg, self.rcfg, chunk)
             )
-        rgb_full, depth_full = self._phaseA[(n_rays, chunk)](
-            self.params_style, rays_o, rays_d, bg, self._next_key()
-        )
+        if fast:
+            rgb_full, depth_full = self._phaseA[(n_rays, chunk)](
+                self.params_style, rays_o, rays_d, bg, self.grid, self._next_key()
+            )
+        else:
+            rgb_full, depth_full = self._phaseA[(n_rays, chunk)](
+                self.params_style, rays_o, rays_d, bg, self._next_key()
+            )
         img = rgb_full.reshape(1, th, tw, 3).transpose(0, 3, 1, 2)
         pred_depth = (
             depth_full.reshape(1, 1, th, tw) if self.guidance.m.use_depth else None
@@ -262,10 +382,23 @@ class StylizeTrainer:
         g_rgb = g_img.transpose(0, 2, 3, 1).reshape(-1, 3)
 
         # Phase B: patch re-render with VJP injection + regularizers
-        self.params_style, self.opt_state = self._phaseB(
-            self.params_style, self.params_gt, self.opt_state,
-            rays_o, rays_d, g_rgb, bg, self._next_key(),
-        )
+        if fast:
+            self.params_style, self.opt_state = self._phaseB(
+                self.params_style, self.params_gt, self.opt_state,
+                rays_o, rays_d, g_rgb, bg, self.grid, self._next_key(),
+            )
+        else:
+            self.params_style, self.opt_state = self._phaseB(
+                self.params_style, self.params_gt, self.opt_state,
+                rays_o, rays_d, g_rgb, bg, self._next_key(),
+            )
+        self._step_count += 1
+        if (
+            fast
+            and c.grid_update_every
+            and self._step_count % c.grid_update_every == 0
+        ):
+            self.grid = self._refresh_grid(self.params_style, self.grid)
 
     def train(self, max_steps: int | None = None, on_step: Callable | None = None):
         c = self.cfg

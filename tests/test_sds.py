@@ -111,3 +111,56 @@ def test_stylize_two_phase_step_updates_params():
         jax.tree_util.tree_leaves(p_gt), jax.tree_util.tree_leaves(trainer.params_gt)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stylize_fast_sampler_smoke():
+    """Fast-sampler SDS: phase A + phase B + grid refresh run end-to-end with
+    the dummy guidance at tiny scale and update the style field."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from avatarcraft_tpu.models.diffusion import SDSGuidance, make_dummy_modules
+    from avatarcraft_tpu.models.instant_nsr import (
+        FastRenderConfig,
+        FieldConfig,
+        init_field_params,
+    )
+    from avatarcraft_tpu.ops.grid_encoder import PyramidSpec
+    from avatarcraft_tpu.workloads.stylize import StylizeConfig, StylizeTrainer
+
+    fcfg = FieldConfig(
+        encoder="tpu_pyramid",
+        pyramid=PyramidSpec(
+            grid_resolutions=(4, 8), grid_dim=2, plane_resolutions=(17,), plane_dim=2
+        ),
+        packed_dtype="float32",
+    )
+    params = init_field_params(jax.random.PRNGKey(0), fcfg)
+    params_gt = jax.tree_util.tree_map(lambda x: x.copy(), params)
+
+    cfg = StylizeConfig(
+        tgt_text="tiny", coarse_epochs=1, fine_epochs=0, n_cap=6, H=16, W=16,
+        subsample_scale=1, batch_size=64, sampler="fast", grid_update_every=1,
+    )
+    fast_cfg = FastRenderConfig(n_probes=16, k_samples=6, bound=1.6)
+    guidance = SDSGuidance(make_dummy_modules(image_size=16))
+    trainer = StylizeTrainer(
+        cfg, fcfg, guidance, params, params_gt,
+        grid=jnp.full((9, 9, 9), 100.0), fast_cfg=fast_cfg,
+    )
+    before = jax.device_get(trainer.params_style)
+    steps = trainer.train(max_steps=2)
+    assert steps == 2
+    after = jax.device_get(trainer.params_style)
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)
+        )
+    )
+    assert moved, "fast-sampler SDS step did not update the style field"
+    flat = jax.tree_util.tree_leaves(after)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
