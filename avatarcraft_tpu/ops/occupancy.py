@@ -149,8 +149,10 @@ def select_occupied_samples(
     )
     r = jnp.where(n_occ > k, spread, jnp.minimum(i, jnp.maximum(n_occ - 1, 0)))
     valid = i < n_occ
-    # index of the (r+1)-th occupied probe: first j with cum[j] >= r+1
-    j = jax.vmap(lambda c, t: jnp.searchsorted(c, t, side="left"))(cum, r + 1)
+    # index of the (r+1)-th occupied probe: first j with cum[j] >= r+1, i.e.
+    # #{j : cum[j] < r+1} — a branch-free comparison-sum (VPU-friendly,
+    # [N, M, k] bools) instead of a vmapped binary search
+    j = jnp.sum(cum[:, :, None] < (r + 1)[:, None, :], axis=1, dtype=jnp.int32)
     j = jnp.clip(j, 0, M - 1)
     z_sel = jnp.take_along_axis(z_vals, j, axis=-1)
     return z_sel, valid

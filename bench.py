@@ -7,13 +7,19 @@ Flagship configuration (the TPU-native path):
   * pyramid/triplane encoder (12 wide row-gathers per point instead of the
     hash encoder's 128 narrow ones),
   * occupancy-grid culled sampling: 192 grid probes -> 32 field samples/ray,
+  * global sample compaction (adaptive K): the field only evaluates samples
+    the grid marks occupied,
   * 4-tap tetrahedral FD normals (4 network evals per sample vs 7).
 
-The bench is CONSERVATIVE: the density grid is set fully occupied, so every
-ray pays the full 32-sample budget (a real avatar scene is sparser and
-faster). The reference-parity path (hash encoder + 64+64 stratified/
-importance sampling + 7-eval central differences) can be benched with
---path=parity.
+When a converged canonical checkpoint exists at ``artifacts/canonical``
+(written by the reconstruction run: bare_smpl_tpu.pth.tar + grid.npy), the
+bench renders THAT field through its real trained occupancy grid — the
+quality-equivalent configuration. Otherwise it falls back to a random-init
+field with a fully-occupied grid and no compaction (conservative: every ray
+pays the full 32-sample budget).
+
+The reference-parity path (hash encoder + 64+64 stratified/importance
+sampling + 7-eval central differences) can be benched with --path=parity.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); we normalize
 against an estimated 30,000 rays/sec for the reference pipeline on A100-80G
@@ -29,15 +35,24 @@ results — every timed frame uses distinct rays and a forced scalar readback.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 A100_BASELINE_RAYS_PER_SEC = 30_000.0
+ARTIFACT_CKPT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "artifacts", "canonical",
+    "bare_smpl_tpu.pth.tar",
+)
+ARTIFACT_GRID = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "artifacts", "canonical", "grid.npy"
+)
 
 
 def main(path: str = "fast"):
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from avatarcraft_tpu.cameras import pose_spherical, pose2rays
     from avatarcraft_tpu.constants import CANONICAL_CAMERA_DIST_VAL, NSR_BOUND
@@ -69,11 +84,34 @@ def main(path: str = "fast"):
         args = lambda i: (params, *frames[i], jax.random.PRNGKey(i))
         metric = "canonical_render_256_rays_per_sec_per_chip_parity"
     else:
-        fcfg = FieldConfig(encoder="tpu_pyramid")
-        fast_cfg = FastRenderConfig(n_probes=192, k_samples=32, bound=NSR_BOUND)
-        params = init_field_params(jax.random.PRNGKey(0), fcfg)
-        # conservative: fully-occupied grid -> every ray pays k_samples
-        grid = jnp.ones((129, 129, 129), jnp.float32)
+        use_artifact = os.path.exists(ARTIFACT_CKPT) and os.path.exists(ARTIFACT_GRID)
+        if use_artifact:
+            from avatarcraft_tpu.utils.checkpoint import load_params_with_config
+
+            params, fcfg = load_params_with_config(ARTIFACT_CKPT)
+            grid = jnp.asarray(np.load(ARTIFACT_GRID))
+            # adaptive K on the real trained grid: budget sized so typical
+            # frames never clip (surface rays use ~K, empty rays ~0)
+            budget = H * W * 12
+            fast_cfg = FastRenderConfig(
+                n_probes=192, k_samples=32, bound=NSR_BOUND, sample_budget=budget
+            )
+            metric = "canonical_render_256_rays_per_sec_per_chip"
+            print(
+                f"[bench] converged checkpoint: {ARTIFACT_CKPT} "
+                f"(encoder={fcfg.encoder}, budget={budget})",
+                file=sys.stderr,
+            )
+        else:
+            fcfg = FieldConfig(encoder="tpu_pyramid")
+            fast_cfg = FastRenderConfig(n_probes=192, k_samples=32, bound=NSR_BOUND)
+            params = init_field_params(jax.random.PRNGKey(0), fcfg)
+            # conservative: fully-occupied grid (value >> the occupancy
+            # threshold min(10, mean)) -> every ray pays k_samples
+            grid = jnp.full((129, 129, 129), 100.0, jnp.float32)
+            metric = "canonical_render_256_rays_per_sec_per_chip"
+            print("[bench] no artifact checkpoint; random-init field, "
+                  "saturated grid (conservative)", file=sys.stderr)
 
         def _render(p, ro, rd, g):
             out = render_rays_fast(p, ro, rd, fcfg, fast_cfg, g, 1.0)
@@ -81,7 +119,6 @@ def main(path: str = "fast"):
 
         render = jax.jit(_render)
         args = lambda i: (params, *frames[i], grid)
-        metric = "canonical_render_256_rays_per_sec_per_chip"
 
     _ = float(render(*args(0)))  # compile + settle
 

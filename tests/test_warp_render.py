@@ -77,3 +77,54 @@ def test_animate_frames_track_pose_sequence(rng):
     T_inv = np.linalg.inv(Ts[0][: MODEL.n_verts])
     can = np.einsum("vij,vj->vi", T_inv, world_h)[:, :3]
     np.testing.assert_allclose(can, SMPL_SCALE * rest, atol=1e-3)
+
+
+def test_golden_frame_calc_local_trans_and_warp():
+    """Golden pin (VERDICT r1 #9): exact T_rest2pose entries, posed verts and
+    warp outputs for one fixed synthetic pose. Any change to the SMPL LBS
+    chain, calc_local_trans composition (T_t2pose . T_shape^-1 . T_t2rest^-1
+    . I/SMPL_SCALE, reference: render_warp.py:171-204) or the kNN warp
+    (reference: utils/ray_utils.py:62-90) trips this test."""
+    from avatarcraft_tpu.warp import WarpData, make_warp_fn
+
+    rng = np.random.default_rng(7)
+    pose = rng.normal(scale=0.3, size=(1, 24, 3)).astype(np.float32)
+    world_verts, Ts, n = calc_local_trans(
+        MODEL, render_type="animate", poses=pose, max_frames=1
+    )
+    assert n == 1
+    T = Ts[0]
+    np.testing.assert_allclose(
+        T[0, 0], [0.023374, 0.557706, 0.020922, -0.064532], atol=2e-5
+    )
+    np.testing.assert_allclose(
+        T[10, 1], [-0.137501, -0.005743, -0.031638, 0.074049], atol=2e-5
+    )
+    np.testing.assert_allclose(
+        world_verts[0][0], [-0.099688, 0.010991, 0.186265], atol=2e-5
+    )
+    np.testing.assert_allclose(
+        world_verts[0][20], [-0.149553, 0.123837, 0.389621], atol=2e-5
+    )
+
+    faces = np.stack(
+        [np.arange(46), np.arange(1, 47), np.arange(2, 48)], 1
+    ).astype(np.int32)
+    wd = WarpData.create(world_verts[0], faces, T[:48])
+    wf = make_warp_fn(wd, 0.05)
+    pts = jnp.asarray(world_verts[0][:4] + 0.01)[None, :, :]
+    can_pts, can_dirs, mask = wf(pts)
+    np.testing.assert_allclose(
+        np.asarray(can_pts)[0],
+        [
+            [0.054133, -0.066407, 0.198854],
+            [0.038344, -0.168733, 0.105164],
+            [0.295241, 0.271273, 0.055329],
+            [-0.323089, -0.235368, 0.025179],
+        ],
+        atol=5e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(can_dirs)[0, 0], [-0.113073, -0.732814, -0.670968], atol=5e-5
+    )
+    assert np.asarray(mask).all()
