@@ -46,7 +46,7 @@ def main(argv=None):
     from avatarcraft_tpu.data.amass import load_pose_sequence
     from avatarcraft_tpu.models.instant_nsr import FieldConfig
     from avatarcraft_tpu.models.smpl import load_smpl
-    from avatarcraft_tpu.utils.checkpoint import safe_load_params
+    from avatarcraft_tpu.utils.checkpoint import load_params_with_config
     from avatarcraft_tpu.utils.metrics import integerify_img
     from avatarcraft_tpu.warp import WarpData
     from avatarcraft_tpu.workloads.warp_render import (
@@ -72,8 +72,8 @@ def main(argv=None):
         max_frames=opt.max_frames,
     )
 
-    fcfg = FieldConfig()
-    params = safe_load_params(opt.weights_path)
+    params, fcfg = load_params_with_config(opt.weights_path)
+    print(f"[render_warp] field: encoder={fcfg.encoder}")
 
     ds = SMPLMultiviewDataset(opt.data_path)
     pose = ds.poses[opt.render_view]

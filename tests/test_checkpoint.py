@@ -80,3 +80,77 @@ def test_export_layout_matches_reference_keys():
     assert "sdf_net.1.weight_v" in sd
     assert "color_net.2.weight_v" in sd and sd["color_net.2.weight_v"].shape[0] == 3
     assert sd["deviation_net.variance"].ndim == 0
+
+
+def test_field_config_sidecar_roundtrip(tmp_path):
+    """save_params_with_config -> load_params_with_config restores the exact
+    FieldConfig (sidecar JSON) next to a reference-compatible state_dict."""
+    import dataclasses
+
+    from avatarcraft_tpu.models.instant_nsr import FieldConfig, init_field_params
+    from avatarcraft_tpu.ops.grid_encoder import PyramidSpec
+    from avatarcraft_tpu.utils.checkpoint import (
+        load_params_with_config,
+        save_params_with_config,
+    )
+
+    fcfg = FieldConfig(
+        encoder="tpu_pyramid",
+        pyramid=PyramidSpec(
+            grid_resolutions=(8, 16), grid_dim=2, plane_resolutions=(33,), plane_dim=2
+        ),
+        hidden_dim=32,
+        geo_feat_dim=7,
+        use_viewdirs=True,
+        mlp_dtype="bfloat16",
+    )
+    params = init_field_params(jax.random.PRNGKey(0), fcfg)
+    path = str(tmp_path / "ckpt.pth.tar")
+    save_params_with_config(jax.device_get(params), path, fcfg)
+    params2, fcfg2 = load_params_with_config(path)
+    assert fcfg2 == fcfg
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_field_config_inference_without_sidecar(tmp_path):
+    """Sidecar-less (legacy/reference) checkpoints: the config is inferred
+    from the params shapes — encoder kind, pyramid geometry, MLP dims,
+    include_input, use_viewdirs/sh_degree."""
+    from avatarcraft_tpu.models.instant_nsr import FieldConfig, init_field_params
+    from avatarcraft_tpu.ops.grid_encoder import PyramidSpec
+    from avatarcraft_tpu.utils.checkpoint import (
+        infer_field_config,
+        load_params_with_config,
+        save_torch_checkpoint,
+    )
+
+    for fcfg in [
+        FieldConfig(encoder="hashgrid"),
+        FieldConfig(encoder="hashgrid", use_viewdirs=True),
+        FieldConfig(
+            encoder="tpu_pyramid",
+            pyramid=PyramidSpec(
+                grid_resolutions=(8, 16), grid_dim=2,
+                plane_resolutions=(33, 65), plane_dim=4,
+            ),
+            hidden_dim=32,
+            num_layers_color=2,
+        ),
+    ]:
+        params = init_field_params(jax.random.PRNGKey(1), fcfg)
+        got = infer_field_config(jax.device_get(params))
+        assert got.encoder == fcfg.encoder
+        assert got.hidden_dim == fcfg.hidden_dim
+        assert got.geo_feat_dim == fcfg.geo_feat_dim
+        assert got.use_viewdirs == fcfg.use_viewdirs
+        assert got.include_input == fcfg.include_input
+        if fcfg.encoder == "tpu_pyramid":
+            assert got.pyramid == fcfg.pyramid
+
+        path = str(tmp_path / f"legacy_{fcfg.encoder}_{fcfg.use_viewdirs}.pth.tar")
+        save_torch_checkpoint(jax.device_get(params), path)
+        _, got2 = load_params_with_config(path)
+        assert got2.encoder == fcfg.encoder
