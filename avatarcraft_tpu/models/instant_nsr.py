@@ -72,9 +72,11 @@ class FieldConfig:
     use_viewdirs: bool = False
     sh_degree: int = 4
     variance_init: float = 0.3
-    # matmul input dtype for the tiny MLPs: "bfloat16" feeds the MXU at 2x
-    # rate; accumulation stays fp32 (preferred_element_type), masters stay
-    # fp32, so only the activations/weights are rounded at matmul inputs
+    # matmul input dtype for the COLOR MLP: "bfloat16" feeds the MXU at 2x
+    # rate with fp32 accumulation and fp32 masters. The SDF MLP is always
+    # fp32: its outputs feed finite-difference normals whose tap differences
+    # are ~1e-3, and bf16 input rounding was measured to corrupt the normals
+    # by 5.6 deg mean / 16 deg max (catastrophic cancellation).
     mlp_dtype: str = "float32"
 
     @property
@@ -219,13 +221,10 @@ def forward_sdf(
     if cfg.include_input:
         h = jnp.concatenate([x, h], axis=-1)
     n = len(params["sdf"])
-    mdt = jnp.dtype(cfg.mlp_dtype)
+    # fp32 always: bf16 inputs here corrupt FD normals (see FieldConfig)
     for l, layer in enumerate(params["sdf"]):
         w = _weight_norm_apply(layer)
-        h = (
-            jnp.dot(h.astype(mdt), w.T.astype(mdt), preferred_element_type=jnp.float32)
-            + layer["b"]
-        )
+        h = h @ w.T + layer["b"]
         if l != n - 1:
             h = _softplus100(h)
     return h

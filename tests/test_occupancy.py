@@ -220,3 +220,49 @@ def test_render_fast_budget_equivalence():
     cfg2 = dataclasses.replace(cfg0, sample_budget=16)
     out2 = render_rays_fast(params, rays_o, rays_d, fcfg, cfg2, grid, 1.0)
     assert np.isfinite(np.asarray(out2["rgb"])).all()
+
+
+def test_render_fast_budget_gradient_equivalence():
+    """Gradients through the compacted field pass match the uncompacted path
+    when the budget covers all valid samples (training-path safety)."""
+    import dataclasses
+
+    from avatarcraft_tpu.models.instant_nsr import (
+        FastRenderConfig,
+        FieldConfig,
+        init_field_params,
+        render_rays_fast,
+    )
+    from avatarcraft_tpu.ops.grid_encoder import PyramidSpec
+
+    fcfg = FieldConfig(
+        encoder="tpu_pyramid",
+        pyramid=PyramidSpec(
+            grid_resolutions=(8,), grid_dim=2, plane_resolutions=(17,), plane_dim=2
+        ),
+        packed_dtype="float32",
+    )
+    params = init_field_params(jax.random.PRNGKey(0), fcfg)
+    rays_o = jnp.asarray([[0.1, 0.0, -2.0], [0.0, -0.1, -2.0], [0.9, 0.9, -2.0]])
+    rays_d = jnp.asarray([[0.0, 0.0, 1.0]] * 3)
+
+    grid = np.zeros((17, 17, 17), np.float32)
+    grid[5:12, 5:12, 5:12] = 50.0
+    grid = jnp.asarray(grid)
+    gt = jnp.asarray([[0.2, 0.5, 0.8]] * 3)
+
+    def loss(p, cfg):
+        out = render_rays_fast(p, rays_o, rays_d, fcfg, cfg, grid, 1.0)
+        return jnp.mean((out["rgb"] - gt) ** 2) + 0.1 * out["gradient_error"]
+
+    cfg0 = FastRenderConfig(n_probes=16, k_samples=8, bound=1.6, sample_budget=0)
+    cfg1 = dataclasses.replace(cfg0, sample_budget=3 * 8)
+    g0 = jax.grad(lambda p: loss(p, cfg0))(params)
+    g1 = jax.grad(lambda p: loss(p, cfg1))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # gradients exist and are finite under a tight budget too
+    g2 = jax.grad(lambda p: loss(p, dataclasses.replace(cfg0, sample_budget=6)))(params)
+    leaves = jax.tree_util.tree_leaves(g2)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    assert sum(float(jnp.abs(x).sum()) for x in leaves) > 0
