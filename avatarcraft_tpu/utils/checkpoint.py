@@ -123,23 +123,31 @@ def load_torch_checkpoint(path: str) -> dict:
     return params_from_torch_state_dict(state)
 
 
-def params_to_torch_state_dict(params: dict):
-    """Export our params pytree as a reference-compatible state_dict."""
+def params_to_torch_state_dict(params: dict, table_dtype=None):
+    """Export our params pytree as a reference-compatible state_dict.
+
+    ``table_dtype`` (e.g. torch.float16): storage dtype for the big encoder
+    tables only (they are consumed as bf16 packed tables at runtime anyway);
+    MLP weights always stay fp32. Halves baked-artifact size."""
     import torch
 
     def t(x):
         return torch.from_numpy(np.array(x, np.float32, copy=True))
 
+    def tt(x):
+        out = t(x)
+        return out.to(table_dtype) if table_dtype is not None else out
+
     state = {}
     if "table" in params:
-        state["encoder.embeddings"] = t(params["table"])
+        state["encoder.embeddings"] = tt(params["table"])
     else:
         # pyramid encoder: framework-native keys (not loadable by the
         # reference, which has no such encoder; round-trips through ours)
         for i, g in enumerate(params.get("grids", [])):
-            state[f"pyramid.grids.{i}"] = t(g)
+            state[f"pyramid.grids.{i}"] = tt(g)
         for i, p in enumerate(params.get("planes", [])):
-            state[f"pyramid.planes.{i}"] = t(p)
+            state[f"pyramid.planes.{i}"] = tt(p)
     for l, layer in enumerate(params["sdf"]):
         state[f"sdf_net.{l}.weight_v"] = t(layer["v"])
         state[f"sdf_net.{l}.weight_g"] = t(layer["g"]).reshape(-1, 1)
@@ -151,11 +159,11 @@ def params_to_torch_state_dict(params: dict):
     return state
 
 
-def save_torch_checkpoint(params: dict, path: str) -> None:
+def save_torch_checkpoint(params: dict, path: str, table_dtype=None) -> None:
     import torch
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    torch.save(params_to_torch_state_dict(params), path)
+    torch.save(params_to_torch_state_dict(params, table_dtype), path)
 
 
 def safe_load_params(path: str, like: dict | None = None) -> dict:
@@ -247,12 +255,12 @@ def _sidecar_path(path: str) -> str:
     return path + ".fieldcfg.json"
 
 
-def save_params_with_config(params: dict, path: str, fcfg=None) -> None:
+def save_params_with_config(params: dict, path: str, fcfg=None, table_dtype=None) -> None:
     """save_torch_checkpoint + a sidecar JSON carrying the FieldConfig (the
     state_dict itself stays reference-compatible)."""
     import json
 
-    save_torch_checkpoint(params, path)
+    save_torch_checkpoint(params, path, table_dtype)
     if fcfg is not None:
         with open(_sidecar_path(path), "w") as fp:
             json.dump(field_config_to_dict(fcfg), fp, indent=1)
