@@ -726,6 +726,10 @@ class FastRenderConfig:
     # marks occupied; the CUDA marcher's compaction, reference:
     # raymarching.cu:156-221). 0 = off (all N*K slots evaluated).
     sample_budget: int = 0
+    # probe against a conservatively max-pooled grid at 1/probe_pool
+    # resolution: probe gathers then hit a ~275k-row table (the fast gather
+    # tier) instead of the 2.1M-row fine grid. 1 = off.
+    probe_pool: int = 1
     # absolute density cutoff, applied as min(occ_threshold, mean(grid)) --
     # the reference marcher's rule (raymarching.cu:21,75: DENSITY_THRESH=10)
     occ_threshold: float = 10.0
@@ -768,8 +772,13 @@ def render_rays_fast(
     t = jnp.linspace(0.0, 1.0, cfg.n_probes, dtype=rays_o.dtype)
     z_probe = near + (far - near) * t[None, :]
     p_probe = rays_o[:, None, :] + rays_d[:, None, :] * z_probe[..., None]
-    occ = occupancy_lookup(density_grid, p_probe, bound)
     thresh = jnp.minimum(cfg.occ_threshold, jnp.mean(density_grid))
+    if cfg.probe_pool > 1:
+        from avatarcraft_tpu.ops.occupancy import pool_grid
+
+        occ = occupancy_lookup(pool_grid(density_grid, cfg.probe_pool), p_probe, bound)
+    else:
+        occ = occupancy_lookup(density_grid, p_probe, bound)
 
     z_sel, valid = select_occupied_samples(z_probe, occ, cfg.k_samples, thresh)
 

@@ -72,6 +72,30 @@ def update_density_grid(
     return jnp.maximum(grid * decay, pooled)
 
 
+def pool_grid(grid: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """Conservative max-pool of a [R,R,R] grid to ceil(R/factor)^3: every
+    coarse cell covers (and dominates) its fine neighborhood, so occupancy
+    never reports a false negative. Used to probe against a SMALL table
+    (~275k rows at 65^3 instead of 2.1M at 129^3 — the fast gather tier)."""
+    R = grid.shape[0]
+    pad = (-R) % factor
+    g = jnp.pad(grid, ((0, pad),) * 3, mode="edge")
+    Rp = g.shape[0]
+    # window = 2*factor-1 centered on each stride-factor cell: include the
+    # +-(factor-1) fine neighbors so boundary cells stay conservative
+    w = factor
+    g = g.reshape(Rp // w, w, Rp // w, w, Rp // w, w).max(axis=(1, 3, 5))
+    # one-cell dilation at the coarse level
+    p = jnp.pad(g, ((1, 1),) * 3, mode="edge")
+    out = g
+    for dx in (0, 1, 2):
+        for dy in (0, 1, 2):
+            for dz in (0, 1, 2):
+                R2 = g.shape[0]
+                out = jnp.maximum(out, p[dx : dx + R2, dy : dy + R2, dz : dz + R2])
+    return out
+
+
 def init_density_grid(resolution: int = 129) -> jnp.ndarray:
     """Zeros [R,R,R] (reference: models/instant_nsr.py:102)."""
     return jnp.zeros((resolution,) * 3, jnp.float32)

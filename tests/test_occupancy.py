@@ -266,3 +266,36 @@ def test_render_fast_budget_gradient_equivalence():
     leaves = jax.tree_util.tree_leaves(g2)
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
     assert sum(float(jnp.abs(x).sum()) for x in leaves) > 0
+
+
+def test_pool_grid_is_conservative():
+    from avatarcraft_tpu.ops.occupancy import pool_grid
+
+    rng = np.random.default_rng(0)
+    g = (rng.random((33, 33, 33)) > 0.95).astype(np.float32) * 100.0
+    coarse = np.asarray(pool_grid(jnp.asarray(g), 2))
+    assert coarse.shape == (17, 17, 17)
+    # every occupied fine cell maps to an occupied coarse cell
+    occ = np.argwhere(g > 10.0)
+    for x, y, z in occ[:200]:
+        assert coarse[x // 2, y // 2, z // 2] > 10.0
+
+
+def test_probe_pool_render_close_to_fine():
+    """Probing against the pooled grid is conservative: renders stay close
+    to the fine-grid render on the analytic sphere."""
+    import dataclasses
+
+    grid = update_density_grid(sphere_sdf_fn, init_density_grid(65), bound=1.6)
+    rays_o = jnp.asarray([[0.2, 0.1, -2.0], [0.0, 0.0, -2.0], [1.4, 1.4, -2.0]])
+    d = jnp.asarray([[-0.1, -0.05, 1.0], [0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    rays_d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    field = sphere_field(0.5, rgb=(0.9, 0.4, 0.2))
+    cfg0 = FastRenderConfig(n_probes=128, k_samples=24)
+    cfg1 = dataclasses.replace(cfg0, probe_pool=2)
+    out0 = render_rays_fast({}, rays_o, rays_d, SMALL_FIELD, cfg0, grid, 0.0, field=field)
+    out1 = render_rays_fast({}, rays_o, rays_d, SMALL_FIELD, cfg1, grid, 0.0, field=field)
+    np.testing.assert_allclose(np.asarray(out1["rgb"]), np.asarray(out0["rgb"]), atol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(out1["weight_sum"]), np.asarray(out0["weight_sum"]), atol=0.05
+    )
