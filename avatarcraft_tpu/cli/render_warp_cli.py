@@ -29,7 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resolution", default=256, type=int, choices=[128, 256, 512])
     parser.add_argument("--render_view", default=58, type=int,
                         help="dataset camera index (reference uses 58/33/...)")
-    parser.add_argument("--smpl_path", default="data/smplx/smpl", type=str)
+    parser.add_argument("--smpl_path", default="data/smplx/smpl", type=str,
+                        help="SMPL_NEUTRAL.pkl dir (user-supplied, like the "
+                             "reference); 'synthetic' uses the test-fixture "
+                             "body for a pickle-free pipeline demo")
     parser.add_argument("--data_path", default="data/smpl_da_512", type=str)
     parser.add_argument("--out_dir", default="./demo", type=str)
     return parser
@@ -62,7 +65,14 @@ def main(argv=None):
     shape_from = np.load(opt.shape_from_path).astype(np.float32) if opt.shape_from_path else None
     shape_to = np.load(opt.shape_to_path).astype(np.float32) if opt.shape_to_path else None
 
-    model = load_smpl(opt.smpl_path)
+    if opt.smpl_path == "synthetic":
+        from avatarcraft_tpu.models.smpl import synthetic_smpl_params
+
+        print("[render_warp] WARNING: synthetic SMPL body (demo mode; "
+              "supply --smpl_path for real animation)")
+        model = synthetic_smpl_params(0, n_verts=512, n_joints=24)
+    else:
+        model = load_smpl(opt.smpl_path)
     world_verts, Ts, n_frames = calc_local_trans(
         model,
         render_type=opt.render_type,
