@@ -25,7 +25,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 
 def _ring_all_gather_kernel(
-    local_ref, out_ref, comm_buf, send_sem, recv_sem, copy_sem, *, axis_name: str
+    local_ref, out_ref, comm_buf, send_sem, recv_sem, copy_sem, ack_sem,
+    *, axis_name: str
 ):
     """Each device contributes its [S, F] shard; out is [n, S, F].
 
@@ -33,9 +34,18 @@ def _ring_all_gather_kernel(
     the right neighbor while depositing it locally. ``local_ref``/``out_ref``
     live in ANY (HBM) and are only touched via DMA; ``comm_buf`` is the
     2-slot VMEM staging buffer the RDMAs flow through.
+
+    Flow control: devices are NOT lockstepped — a fast left neighbor could
+    overwrite a slot we are still depositing from (caught by the interpret-
+    mode race detector). Each deposit therefore acks the writer
+    (``ack_sem`` signal to the LEFT), and a sender must collect the ack
+    before REUSING a remote slot (first reuse is step 2; the wait is skipped
+    for k < 2, and the final deposits skip the ack nobody will consume).
     """
     n = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
+    right = jax.lax.rem(me + 1, n)
+    left = jax.lax.rem(me - 1 + n, n)
 
     # stage own shard into slot 0, deposit it into out[me]
     cp_in = pltpu.make_async_copy(local_ref, comm_buf.at[0], copy_sem)
@@ -48,13 +58,21 @@ def _ring_all_gather_kernel(
     def step(k, _):
         send_slot = jax.lax.rem(k, 2)
         recv_slot = jax.lax.rem(k + 1, 2)
-        dst = jax.lax.rem(me + 1, n)
+
+        # backpressure: the remote slot we write at step k is the receiver's
+        # SEND SOURCE at its step k-1 and its deposit source at step k-2 —
+        # wait for the receiver to fully finish step k-1 before overwriting
+        # (one ack per completed neighbor step)
+        @pl.when(k >= 1)
+        def _():
+            pltpu.semaphore_wait(ack_sem, 1)
+
         rdma = pltpu.make_async_remote_copy(
             src_ref=comm_buf.at[send_slot],
             dst_ref=comm_buf.at[recv_slot],
             send_sem=send_sem.at[send_slot],
             recv_sem=recv_sem.at[recv_slot],
-            device_id=dst,
+            device_id=right,
             device_id_type=pltpu.DeviceIdType.LOGICAL,
         )
         rdma.start()
@@ -65,6 +83,17 @@ def _ring_all_gather_kernel(
         )
         cp.start()
         cp.wait()
+
+        # step fully done (send source read + deposit) -> the left neighbor
+        # may write our next recv slot (its step k+1). The final step's ack
+        # has no consumer (left's last send is step n-2), so skip it.
+        @pl.when(k <= n - 3)
+        def _():
+            pltpu.semaphore_signal(
+                ack_sem, inc=1, device_id=left,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+
         return 0
 
     jax.lax.fori_loop(0, n - 1, step, 0)
@@ -95,6 +124,7 @@ def ring_all_gather(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.REGULAR,
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, collective_id=7
