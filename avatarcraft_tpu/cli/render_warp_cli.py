@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "body for a pickle-free pipeline demo")
     parser.add_argument("--data_path", default="data/smpl_da_512", type=str)
     parser.add_argument("--out_dir", default="./demo", type=str)
+    parser.add_argument("--sampler", default="parity", choices=["parity", "fast"],
+                        help="fast = per-frame voxelized posed-space occupancy "
+                             "+ compacted kNN warp (TPU flagship)")
     return parser
 
 
@@ -91,9 +94,18 @@ def main(argv=None):
     rays_o, rays_d = ds.gen_rays_pose(pose, subsample)
 
     settings = WarpRenderSettings()
-    render_frame = make_warp_frame_renderer(
-        fcfg, settings, 1.0 if opt.white_bkg else 0.0
-    )
+    if opt.sampler == "fast":
+        from avatarcraft_tpu.workloads.warp_render import (
+            make_warp_frame_renderer_fast,
+        )
+
+        render_frame = make_warp_frame_renderer_fast(
+            fcfg, settings, 1.0 if opt.white_bkg else 0.0
+        )
+    else:
+        render_frame = make_warp_frame_renderer(
+            fcfg, settings, 1.0 if opt.white_bkg else 0.0
+        )
 
     exp_dir = os.path.join(opt.out_dir, "test_views", opt.exp_name)
     os.makedirs(exp_dir, exist_ok=True)

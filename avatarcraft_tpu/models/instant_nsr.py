@@ -746,10 +746,19 @@ def render_rays_fast(
     bg_color: jnp.ndarray | float = 1.0,
     field: FieldFns | None = None,
     near_far: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    warp_fn: WarpFn | None = None,
 ) -> dict:
     """Occupancy-culled NeuS render. Same compositing math as render_rays but
     the network only runs on K grid-occupied samples per ray (static shapes;
-    the CUDA marcher's atomic compaction becomes top-K selection)."""
+    the CUDA marcher's atomic compaction becomes evenly-spaced selection +
+    optional global compaction).
+
+    ``warp_fn``: posed->canonical warp for animation. The density grid must
+    then be a POSED-space grid (ops.occupancy.voxelize_verts of the posed
+    SMPL mesh); selected samples are warped before the field evaluates, and
+    off-mesh samples are masked like the reference's alpha masking
+    (models/instant_nsr.py:245-248). With a sample budget, the (expensive
+    kNN) warp runs only on the compacted survivors."""
     from avatarcraft_tpu.ops.occupancy import (
         compact_indices,
         occupancy_lookup,
@@ -795,18 +804,35 @@ def render_rays_fast(
         sel, kept = compact_indices(valid.reshape(-1), cfg.sample_budget)
         n_kept = kept.sum()
         flat_c, dirs_c = flat[sel], dirs[sel]
+        if warp_fn is not None:
+            # compacted points have no per-ray structure; warp as one
+            # pseudo-ray (kNN/mask are per-point; canonical dirs are only
+            # meaningful ray-wise and are not consumed by this path)
+            wp, _, wm = warp_fn(flat_c[None])
+            flat_c = jnp.clip(wp[0], -bound, bound)
+            wmask_c = wm.reshape(-1, 1).astype(jnp.float32)
         sdf_c, feat_c, grad_c = sdf_tetra(field, flat_c, bound, cfg.fd_epsilon)
         normal_c = grad_c / (1e-5 + _safe_norm(grad_c))
         color_c = field.color(flat_c, dirs_c, normal_c, feat_c)
+        norm_c = jnp.linalg.norm(flat_c, axis=-1, keepdims=True)
         sdf = scatter_to_flat(sdf_c, sel, T, n_kept)
         grad = scatter_to_flat(grad_c, sel, T, n_kept)
         normal = scatter_to_flat(normal_c, sel, T, n_kept)
         color = scatter_to_flat(color_c, sel, T, n_kept)
+        pts_norm_flat = scatter_to_flat(norm_c, sel, T, n_kept)[:, 0]
         valid = kept.reshape(N, cfg.k_samples)
+        if warp_fn is not None:
+            wmask_full = scatter_to_flat(wmask_c, sel, T, n_kept)[:, 0]
+            valid = valid & (wmask_full.reshape(N, cfg.k_samples) > 0.5)
     else:
+        if warp_fn is not None:
+            wp, _, wm = warp_fn(pts)  # [N, K, 3] ray-structured
+            flat = jnp.clip(wp.reshape(-1, 3), -bound, bound)
+            valid = valid & wm.reshape(N, cfg.k_samples)
         sdf, feat, grad = sdf_tetra(field, flat, bound, cfg.fd_epsilon)
         normal = grad / (1e-5 + _safe_norm(grad))
         color = field.color(flat, dirs, normal, feat)
+        pts_norm_flat = jnp.linalg.norm(flat, axis=-1)
     inv_s = field.inv_s()
 
     # Invalid (unoccupied) slots sit after the valid ones but carry arbitrary
@@ -844,7 +870,7 @@ def render_rays_fast(
     image = image + (1.0 - weights_sum) * bg
 
     # eikonal over valid samples in the relaxed inside-sphere region
-    pts_norm = jnp.linalg.norm(flat, axis=-1).reshape(N, cfg.k_samples)
+    pts_norm = pts_norm_flat.reshape(N, cfg.k_samples)
     relax = jax.lax.stop_gradient(
         ((pts_norm < 1.2) & valid).astype(jnp.float32)
     )

@@ -72,6 +72,35 @@ def update_density_grid(
     return jnp.maximum(grid * decay, pooled)
 
 
+def voxelize_verts(
+    verts: jnp.ndarray,
+    bound: float,
+    resolution: int = 129,
+    dilate: int = 2,
+    value: float = 100.0,
+) -> jnp.ndarray:
+    """Posed-space occupancy grid from mesh vertices: mark vertex cells, then
+    dilate ``dilate`` cells (one 3^3 max-pool per round). The fast-path
+    analogue of geometry_guided_near_far (reference: utils/ray_utils.py:270):
+    at 129^3 over +-1.6, two dilation rounds cover the 0.05 geo-threshold
+    around the SMPL surface (vertex spacing ~1 cell)."""
+    R = resolution
+    idx = jnp.clip(
+        jnp.round((verts + bound) / (2 * bound) * (R - 1)).astype(jnp.int32), 0, R - 1
+    )
+    flat = (idx[:, 0] * R + idx[:, 1]) * R + idx[:, 2]
+    grid = jnp.zeros((R * R * R,), jnp.float32).at[flat].set(value).reshape(R, R, R)
+    for _ in range(dilate):
+        p = jnp.pad(grid, ((1, 1),) * 3)
+        out = grid
+        for dx in (0, 1, 2):
+            for dy in (0, 1, 2):
+                for dz in (0, 1, 2):
+                    out = jnp.maximum(out, p[dx : dx + R, dy : dy + R, dz : dz + R])
+        grid = out
+    return grid
+
+
 def pool_grid(grid: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     """Conservative max-pool of a [R,R,R] grid to ceil(R/factor)^3: every
     coarse cell covers (and dominates) its fine neighborhood, so occupancy

@@ -170,3 +170,50 @@ def make_warp_frame_renderer(
         return rgb.reshape(n, 3)
 
     return render_frame
+
+
+def make_warp_frame_renderer_fast(
+    fcfg: FieldConfig,
+    settings: WarpRenderSettings,
+    bg_value: float = 1.0,
+    k_samples: int = 32,
+    n_probes: int = 128,
+    sample_budget_per_ray: int = 12,
+    grid_resolution: int = 129,
+):
+    """Occupancy fast path for animation: per frame, the POSED mesh is
+    voxelized into a density grid (ops.occupancy.voxelize_verts — the grid
+    analogue of geometry_guided_near_far); selection+compaction then spend
+    the sample budget only near the posed body, and only those samples pay
+    the kNN warp + field evaluation."""
+    import dataclasses as _dc
+
+    from avatarcraft_tpu.models.instant_nsr import FastRenderConfig, render_rays_fast
+    from avatarcraft_tpu.ops.occupancy import voxelize_verts
+
+    @jax.jit
+    def render_frame(params, rays_o, rays_d, warp_data: WarpData):
+        n = rays_o.shape[0]
+        chunk = min(settings.chunk, n)
+        n_chunks = n // chunk
+        grid = voxelize_verts(warp_data.verts, settings.bound, grid_resolution)
+        warp_fn = make_warp_fn(warp_data, settings.geo_threshold)
+        cfg = FastRenderConfig(
+            n_probes=n_probes, k_samples=k_samples, bound=settings.bound,
+            sample_budget=chunk * sample_budget_per_ray,
+        )
+
+        def body(args):
+            ro, rd = args
+            out = render_rays_fast(
+                params, ro, rd, fcfg, cfg, grid, bg_value, warp_fn=warp_fn
+            )
+            return out["rgb"]
+
+        rgb = jax.lax.map(
+            body,
+            (rays_o.reshape(n_chunks, chunk, 3), rays_d.reshape(n_chunks, chunk, 3)),
+        )
+        return rgb.reshape(n, 3)
+
+    return render_frame

@@ -128,3 +128,69 @@ def test_golden_frame_calc_local_trans_and_warp():
         np.asarray(can_dirs)[0, 0], [-0.113073, -0.732814, -0.670968], atol=5e-5
     )
     assert np.asarray(mask).all()
+
+
+def test_fast_warp_render_matches_parity():
+    """Occupancy fast path with warp (posed-space voxelized grid + compacted
+    kNN warp) stays close to the parity warped render, and miss rays hit the
+    background exactly."""
+    from avatarcraft_tpu.models.instant_nsr import FieldConfig, init_field_params
+    from avatarcraft_tpu.ops.grid_encoder import PyramidSpec
+    from avatarcraft_tpu.warp import WarpData
+    from avatarcraft_tpu.workloads.warp_render import (
+        WarpRenderSettings,
+        make_warp_frame_renderer,
+        make_warp_frame_renderer_fast,
+    )
+
+    rng = np.random.default_rng(3)
+    pose = rng.normal(scale=0.2, size=(1, 24, 3)).astype(np.float32)
+    world_verts, Ts, _ = calc_local_trans(
+        MODEL, render_type="animate", poses=pose, max_frames=1
+    )
+    data = WarpData.create(world_verts[0], MODEL.faces, Ts[0][: MODEL.n_verts])
+
+    fcfg = FieldConfig(
+        encoder="tpu_pyramid",
+        pyramid=PyramidSpec(
+            grid_resolutions=(8, 16), grid_dim=2, plane_resolutions=(33,), plane_dim=2
+        ),
+        packed_dtype="float32",
+    )
+    params = init_field_params(jax.random.PRNGKey(0), fcfg)
+
+    # rays through the posed body + one clear miss
+    center = np.asarray(world_verts[0]).mean(0)
+    rays_o = np.array(
+        [center + [0, 0, -2.0], center + [0.02, 0.01, -2.0], [1.5, 1.5, -2.0]],
+        np.float32,
+    )
+    d = np.array([[0, 0, 1.0]] * 3, np.float32)
+    rays_o, d = jnp.asarray(rays_o), jnp.asarray(d)
+
+    settings = WarpRenderSettings(num_steps=16, upsample_steps=16, chunk=3)
+    parity = make_warp_frame_renderer(fcfg, settings, bg_value=0.25)
+    fast = make_warp_frame_renderer_fast(
+        fcfg, settings, bg_value=0.25, k_samples=16, n_probes=64,
+        sample_budget_per_ray=16, grid_resolution=65,
+    )
+    rgb_p = np.asarray(parity(params, rays_o, d, data))
+    rgb_f = np.asarray(fast(params, rays_o, d, data))
+    assert np.isfinite(rgb_f).all()
+    # miss ray: exact background on both paths
+    np.testing.assert_allclose(rgb_f[2], 0.25, atol=1e-3)
+    np.testing.assert_allclose(rgb_p[2], 0.25, atol=1e-3)
+    # body rays: same ballpark (random init field -> low-contrast renders)
+    np.testing.assert_allclose(rgb_f[:2], rgb_p[:2], atol=0.15)
+
+
+def test_voxelize_verts_marks_and_dilates():
+    from avatarcraft_tpu.ops.occupancy import voxelize_verts
+
+    verts = jnp.asarray([[0.0, 0.0, 0.0], [1.0, -1.0, 0.5]])
+    g = np.asarray(voxelize_verts(verts, bound=1.6, resolution=33, dilate=1))
+    c = 16  # center cell
+    assert g[c, c, c] > 10
+    assert g[c + 1, c, c] > 10  # dilated neighbor
+    assert g[c + 3, c, c] == 0  # beyond dilation
+    assert (g > 10).sum() == 2 * 27  # two vertices, 3^3 each
