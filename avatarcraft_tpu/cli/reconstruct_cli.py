@@ -53,6 +53,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--save_state_every", default=0, type=int,
                         help="write resumable orbax train state every N steps "
                              "(fast sampler only)")
+    parser.add_argument("--n_probes", default=128, type=int,
+                        help="occupancy probes per ray (fast sampler)")
+    parser.add_argument("--k_samples", default=32, type=int,
+                        help="field samples per ray (fast sampler)")
+    parser.add_argument("--sample_budget", default=0, type=int,
+                        help="global field-sample budget per batch (adaptive "
+                             "K compaction; 0 = off)")
+    parser.add_argument("--grid_warmup_steps", default=2000, type=int,
+                        help="steps with a saturated grid before the first "
+                             "real occupancy refresh (fast sampler)")
     parser.add_argument(
         "--bkg_mode", default="raw",
         choices=["raw", "composite", "composite_random"],
@@ -178,12 +188,16 @@ def main(argv=None):
                 [v for v in range(ds.n_images) if v not in set(holdout)], np.int32
             )
             print(f"holding out views {holdout} ({len(view_ids)} train views)")
-        fast_cfg = FastRenderConfig(n_probes=128, k_samples=32, bound=NSR_BOUND)
+        fast_cfg = FastRenderConfig(
+            n_probes=opt.n_probes, k_samples=opt.k_samples, bound=NSR_BOUND,
+            sample_budget=opt.sample_budget,
+        )
         params, grid, stats = train_fast(
             ds, fcfg, fast_cfg, cfg,
             max_steps=opt.max_steps, callbacks={"on_step": on_step},
             view_ids=view_ids, state_dir=exp_dir,
             save_state_every=opt.save_state_every, resume_from=opt.resume_from,
+            grid_warmup_steps=opt.grid_warmup_steps,
         )
         np.save(os.path.join(exp_dir, f"{opt.exp_name}_grid.npy"),
                 np.asarray(jax.device_get(grid)))
