@@ -47,6 +47,7 @@ class MultiPromptTrainer:
     prompts: list[str]
     params_style: dict  # stacked [P, ...]
     params_gt: dict  # single (shared canonical field)
+    fast_cfg: object | None = None
 
     def __post_init__(self):
         c = self.cfg
@@ -62,6 +63,19 @@ class MultiPromptTrainer:
         self.rng = np.random.default_rng(c.seed)
         self.key = jax.random.PRNGKey(c.seed)
         self._phaseA = {}
+        self._step_count = 0
+        if c.sampler == "fast":
+            from avatarcraft_tpu.models.instant_nsr import FastRenderConfig
+            from avatarcraft_tpu.workloads.reconstruct import make_grid_update_fn
+
+            if self.fast_cfg is None:
+                self.fast_cfg = FastRenderConfig(bound=NSR_BOUND)
+            self._refresh_grid = jax.vmap(make_grid_update_fn(self.fcfg, NSR_BOUND))
+            # one grid per prompt field (geometry diverges under styling)
+            self.grids = self._refresh_grid(
+                self.params_style,
+                jnp.zeros((self.P, 129, 129, 129), jnp.float32),
+            )
         # text embeddings stacked [P, 2, L, D]
         self.text_embs = jnp.stack(
             [self.guidance.get_text_embeds([p]) for p in self.prompts]
@@ -92,15 +106,29 @@ class MultiPromptTrainer:
 
         # phase A vmapped over the prompt axis
         chunk = min(c.batch_size, n_rays)
+        fast = c.sampler == "fast"
         if (n_rays, chunk) not in self._phaseA:
-            phaseA = make_phaseA_render(self.fcfg, self.rcfg, chunk)
-            self._phaseA[(n_rays, chunk)] = jax.jit(
-                jax.vmap(phaseA, in_axes=(0, None, None, None, 0))
-            )
+            if fast:
+                from avatarcraft_tpu.workloads.stylize import make_phaseA_render_fast
+
+                phaseA = make_phaseA_render_fast(self.fcfg, self.fast_cfg, chunk)
+                self._phaseA[(n_rays, chunk)] = jax.jit(
+                    jax.vmap(phaseA, in_axes=(0, None, None, None, 0, 0))
+                )
+            else:
+                phaseA = make_phaseA_render(self.fcfg, self.rcfg, chunk)
+                self._phaseA[(n_rays, chunk)] = jax.jit(
+                    jax.vmap(phaseA, in_axes=(0, None, None, None, 0))
+                )
         keysA = jax.random.split(self._next_key(), self.P)
-        rgb, _depth = self._phaseA[(n_rays, chunk)](
-            self.params_style, rays_o, rays_d, bg, keysA
-        )  # [P, n_rays, 3], [P, n_rays]
+        if fast:
+            rgb, _depth = self._phaseA[(n_rays, chunk)](
+                self.params_style, rays_o, rays_d, bg, self.grids, keysA
+            )
+        else:
+            rgb, _depth = self._phaseA[(n_rays, chunk)](
+                self.params_style, rays_o, rays_d, bg, keysA
+            )  # [P, n_rays, 3], [P, n_rays]
 
         imgs = rgb.reshape(self.P, th, tw, 3).transpose(0, 3, 1, 2)[:, None]
         keysG = jax.random.split(self._next_key(), self.P)
@@ -111,13 +139,24 @@ class MultiPromptTrainer:
 
         # phase B: vmapped gradient accumulation, one Adam step on the stack
         keysB = jax.random.split(self._next_key(), self.P)
-        grads = jax.vmap(
-            lambda p, g, k: _phaseB_grads(
-                p, self.params_gt, rays_o, rays_d, g, bg, k, self.fcfg, self.rcfg, c
-            )
-        )(self.params_style, g_rgb, keysB)
+        if fast:
+            grads = jax.vmap(
+                lambda p, g, gr: _phaseB_grads_fast(
+                    p, self.params_gt, rays_o, rays_d, g, bg, gr,
+                    self.fcfg, self.fast_cfg, c,
+                )
+            )(self.params_style, g_rgb, self.grids)
+        else:
+            grads = jax.vmap(
+                lambda p, g, k: _phaseB_grads(
+                    p, self.params_gt, rays_o, rays_d, g, bg, k, self.fcfg, self.rcfg, c
+                )
+            )(self.params_style, g_rgb, keysB)
         updates, self.opt_state = self.tx.update(grads, self.opt_state, self.params_style)
         self.params_style = optax.apply_updates(self.params_style, updates)
+        self._step_count += 1
+        if fast and c.grid_update_every and self._step_count % c.grid_update_every == 0:
+            self.grids = self._refresh_grid(self.params_style, self.grids)
 
     def train(self, max_steps: int | None = None):
         from avatarcraft_tpu.cameras import style_360_path
@@ -184,6 +223,47 @@ def _phaseB_grads(params, params_gt, rays_o, rays_d, g_rgb, bg, key, fcfg, rcfg,
             g_rgb.reshape(n_patches, chunk, 3),
             bg.reshape(n_patches, chunk, 3),
             keys,
+        ),
+    )
+    return jax.tree_util.tree_map(lambda g: g.sum(axis=0), patch_grads)
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9))
+def _phaseB_grads_fast(
+    params, params_gt, rays_o, rays_d, g_rgb, bg, grid, fcfg, fast_cfg, cfg
+):
+    """Fast-sampler phase-B gradients for one prompt (vmap-compatible)."""
+    from avatarcraft_tpu.models.instant_nsr import render_rays_fast
+
+    chunk = min(cfg.batch_size, rays_o.shape[0])
+    n = rays_o.shape[0]
+    n_patches = n // chunk
+
+    def patch_loss(p, ro, rd, g, bgc):
+        out = render_rays_fast(p, ro, rd, fcfg, fast_cfg, grid, bgc)
+        loss = jnp.vdot(out["rgb"], g) + cfg.w_eikonal * out["gradient_error"]
+        if cfg.use_opacity:
+            out_gt = render_rays_fast(params_gt, ro, rd, fcfg, fast_cfg, grid, bgc)
+            d = jnp.clip(out["weight_sum"], 0, 1) - jax.lax.stop_gradient(
+                jnp.clip(out_gt["weight_sum"], 0, 1)
+            )
+            ad = jnp.abs(d)
+            loss = loss + jnp.mean(jnp.where(ad < 1, 0.5 * d * d, ad - 0.5)) * 1e5
+        return loss
+
+    grad_fn = jax.grad(patch_loss)
+
+    def body(args):
+        ro, rd, g, bgc = args
+        return grad_fn(params, ro, rd, g, bgc)
+
+    patch_grads = jax.lax.map(
+        body,
+        (
+            rays_o.reshape(n_patches, chunk, 3),
+            rays_d.reshape(n_patches, chunk, 3),
+            g_rgb.reshape(n_patches, chunk, 3),
+            bg.reshape(n_patches, chunk, 3),
         ),
     )
     return jax.tree_util.tree_map(lambda g: g.sum(axis=0), patch_grads)
