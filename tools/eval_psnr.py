@@ -34,6 +34,19 @@ def main(argv=None):
     ap.add_argument("--k_samples", default=32, type=int)
     ap.add_argument("--white_bkg", default=True)
     ap.add_argument("--out_dir", default=None, help="save rendered PNGs here")
+    ap.add_argument("--supersample", default=1, type=int,
+                    help="render at Nx resolution and box-downsample: gives "
+                         "the render true partial edge coverage, matching the "
+                         "dataset's antialiasing")
+    ap.add_argument("--gt_box", action="store_true",
+                    help="at level>1, box-downsample the GT (and cover each "
+                         "coarse pixel's footprint with the supersamples) "
+                         "instead of point-sampling pixels")
+    ap.add_argument("--gt_mode", default="composite", choices=["composite", "raw"],
+                    help="composite = GT mask-composited onto the render bg; "
+                         "raw = raw dataset image vs a BLACK-background "
+                         "render (the dataset's own background), the fully "
+                         "consistent protocol for antialiased GT edges")
     opt = ap.parse_args(argv)
 
     if opt.platform == "cpu":
@@ -75,30 +88,70 @@ def main(argv=None):
     fast_cfg = FastRenderConfig(
         n_probes=opt.n_probes, k_samples=opt.k_samples, bound=NSR_BOUND
     )
-    bg = 1.0 if opt.white_bkg else 0.0
+    bg = 0.0 if opt.gt_mode == "raw" else (1.0 if opt.white_bkg else 0.0)
     render = jax.jit(
         lambda p, ro, rd, g: render_rays_fast(p, ro, rd, fcfg, fast_cfg, g, bg)["rgb"]
     )
 
+    ss = max(1, opt.supersample)
     side = ds.H // opt.level
+    rside = side * ss
     ys = np.round(np.linspace(0, ds.H - 1, side)).astype(int)
     xs = np.round(np.linspace(0, ds.W - 1, side)).astype(int)
 
+    def subpixel_rays(pose, centers, span=1.0):
+        """Rays at pixel centers +- subpixel offsets covering a ``span``-pixel
+        footprint (proper box coverage)."""
+        import jax.numpy as jnp
+
+        offs = ((np.arange(ss) + 0.5) / ss - 0.5) * span
+        coords = (centers[:, None] + offs[None, :]).reshape(-1)  # [side*ss]
+        px, py = np.meshgrid(coords, coords, indexing="xy")
+        K = ds.K
+        p = np.stack(
+            [(px - K[0, 2]) / K[0, 0], -(py - K[1, 2]) / K[1, 1],
+             -np.ones_like(px)], axis=-1).astype(np.float32)
+        vv = p / np.linalg.norm(p, axis=-1, keepdims=True)
+        rd = vv @ pose[:3, :3].T
+        ro = np.broadcast_to(pose[:3, 3], rd.shape)
+        return jnp.asarray(ro.reshape(-1, 3)), jnp.asarray(rd.reshape(-1, 3))
+
     results = {}
     for v in [int(x) for x in opt.views.split(",") if x.strip()]:
-        rays_o, rays_d = ds.gen_rays_at(v, resolution_level=opt.level)
+        if opt.level > 1 and opt.gt_box:
+            L = opt.level
+            centers = np.arange(side) * L + (L - 1) / 2.0
+            rays_o, rays_d = subpixel_rays(ds.poses[v], centers, span=float(L))
+        else:
+            rays_o, rays_d = subpixel_rays(ds.poses[v], ys.astype(np.float64))
         outs = []
         n = rays_o.shape[0]
         for i in range(0, n, opt.chunk):
             outs.append(np.asarray(render(params, rays_o[i : i + opt.chunk],
                                           rays_d[i : i + opt.chunk], grid)))
-        img = np.concatenate(outs).reshape(side, side, 3)
-        m = ds.masks[v][np.ix_(ys, xs)][..., None]
-        gt = ds.images[v][np.ix_(ys, xs)] * m + (1.0 - m) * bg
+        img = np.concatenate(outs).reshape(rside, rside, 3)
+        if ss > 1:  # box-downsample: true partial edge coverage
+            img = img.reshape(side, ss, side, ss, 3).mean(axis=(1, 3))
+        if opt.level > 1 and opt.gt_box:
+            # box-downsample the GT too (consistent with the box render)
+            L = opt.level
+            gt_full = ds.images[v]
+            gt = gt_full.reshape(side, L, side, L, 3).mean(axis=(1, 3))
+            if opt.gt_mode != "raw":
+                m_full = ds.masks[v][..., None]
+                gt = (gt_full * m_full + (1 - m_full) * bg).reshape(
+                    side, L, side, L, 3
+                ).mean(axis=(1, 3))
+        elif opt.gt_mode == "raw":
+            gt = ds.images[v][np.ix_(ys, xs)]
+        else:
+            m = ds.masks[v][np.ix_(ys, xs)][..., None]
+            gt = ds.images[v][np.ix_(ys, xs)] * m + (1.0 - m) * bg
         mse = float(np.mean((img - gt) ** 2))
         psnr = -10.0 * np.log10(max(mse, 1e-12))
         results[v] = psnr
-        print(f"view {v} @{side}x{side}: PSNR {psnr:.2f} dB", file=sys.stderr)
+        print(f"view {v} @{side}x{side} (ss={ss}, {opt.gt_mode}): "
+              f"PSNR {psnr:.2f} dB", file=sys.stderr)
         if opt.out_dir:
             import imageio.v2 as imageio
 
@@ -111,6 +164,8 @@ def main(argv=None):
     print(json.dumps({
         "step": int(state["step"]),
         "level": opt.level,
+        "supersample": ss,
+        "gt_mode": opt.gt_mode,
         "psnr": results,
         "mean_psnr": sum(results.values()) / max(len(results), 1),
     }))
