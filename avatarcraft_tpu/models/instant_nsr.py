@@ -110,6 +110,10 @@ class RenderConfig:
     cos_anneal_ratio: float = 1.0
     normal_epsilon_ratio: float = 0.0
     curvature_loss: bool = False
+    # normal estimator: "fd7" = reference central differences (parity),
+    # "fd4" = tetrahedral stencil, "analytic" = exact forward-mode gradient
+    # (1 encoder pass instead of 7 — the fast option; see field_sdf_grad)
+    normal_mode: str = "fd7"
 
     @property
     def total_steps(self) -> int:
@@ -430,6 +434,49 @@ def _field_sdf_and_gradient(
     return sdf, geo_feat, grad
 
 
+def _field_sdf_and_gradient_analytic(
+    field: FieldFns, x: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact SDF spatial gradient via forward-mode autodiff.
+
+    One primal evaluation (jax.linearize) + three tangent passes. The tangent
+    of the encoder's trilinear interpolation reuses the SAME gathered corner
+    features as the primal — zero extra table gathers versus the 6 extra full
+    encoder passes of the FD7 stencil, which dominate the reference-parity
+    render cost (the encoder is gather-bound, docs/PERFORMANCE.md). The
+    gradient is exact for the piecewise-trilinear hash field instead of the
+    reference's eps-smoothed finite differences
+    (models/instant_nsr.py:687-704); rendered frames agree to ~O(eps^2).
+    """
+    out, f_jvp = jax.linearize(field.sdf, x)
+    sdf = out[:, :1]
+    geo_feat = out[:, 1:]
+    cols = [
+        f_jvp(jnp.broadcast_to(jnp.eye(3, dtype=x.dtype)[d], x.shape))[:, 0]
+        for d in range(3)
+    ]
+    return sdf, geo_feat, jnp.stack(cols, axis=-1)
+
+
+def field_sdf_grad(
+    field: FieldFns, x: jnp.ndarray, bound: float, epsilon: float, mode: str
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(sdf [N,1], geo_feat [N,F], grad [N,3]) under the chosen normal mode.
+
+    * "fd7": center + 6-tap central differences — bitwise the reference
+      semantics (models/instant_nsr.py:687-704).
+    * "fd4": tetrahedral 4-tap stencil (sdf/features are the stencil mean).
+    * "analytic": exact forward-mode gradient, 1 encoder pass (fastest).
+    """
+    if mode == "fd7":
+        return _field_sdf_and_gradient(field, x, bound, epsilon)
+    if mode == "fd4":
+        return sdf_tetra(field, x, bound, epsilon)
+    if mode == "analytic":
+        return _field_sdf_and_gradient_analytic(field, x)
+    raise ValueError(f"unknown normal_mode: {mode!r}")
+
+
 def render_rays(
     params: dict,
     rays_o: jnp.ndarray,
@@ -528,7 +575,9 @@ def render_rays(
     # ---- the single big network evaluation ----
     eps = 0.005 * (1.0 - rcfg.normal_epsilon_ratio)
     flat_pts = new_pts.reshape(-1, 3)
-    sdf, geo_feat, gradient = _field_sdf_and_gradient(field, flat_pts, bound, eps)
+    sdf, geo_feat, gradient = field_sdf_grad(
+        field, flat_pts, bound, eps, rcfg.normal_mode
+    )
     normal = gradient / (1e-5 + _safe_norm(gradient))
 
     flat_dirs = dirs.reshape(-1, 3)
@@ -734,6 +783,9 @@ class FastRenderConfig:
     # the reference marcher's rule (raymarching.cu:21,75: DENSITY_THRESH=10)
     occ_threshold: float = 10.0
     cos_anneal_ratio: float = 1.0
+    # normal estimator ("fd4" | "fd7" | "analytic"); analytic reuses the
+    # primal's table gathers via forward-mode autodiff — 1 encoder pass
+    normal_mode: str = "fd4"
 
 
 def render_rays_fast(
@@ -811,7 +863,9 @@ def render_rays_fast(
             wp, _, wm = warp_fn(flat_c[None])
             flat_c = jnp.clip(wp[0], -bound, bound)
             wmask_c = wm.reshape(-1, 1).astype(jnp.float32)
-        sdf_c, feat_c, grad_c = sdf_tetra(field, flat_c, bound, cfg.fd_epsilon)
+        sdf_c, feat_c, grad_c = field_sdf_grad(
+            field, flat_c, bound, cfg.fd_epsilon, cfg.normal_mode
+        )
         normal_c = grad_c / (1e-5 + _safe_norm(grad_c))
         color_c = field.color(flat_c, dirs_c, normal_c, feat_c)
         norm_c = jnp.linalg.norm(flat_c, axis=-1, keepdims=True)
@@ -829,7 +883,9 @@ def render_rays_fast(
             wp, _, wm = warp_fn(pts)  # [N, K, 3] ray-structured
             flat = jnp.clip(wp.reshape(-1, 3), -bound, bound)
             valid = valid & wm.reshape(N, cfg.k_samples)
-        sdf, feat, grad = sdf_tetra(field, flat, bound, cfg.fd_epsilon)
+        sdf, feat, grad = field_sdf_grad(
+            field, flat, bound, cfg.fd_epsilon, cfg.normal_mode
+        )
         normal = grad / (1e-5 + _safe_norm(grad))
         color = field.color(flat, dirs, normal, feat)
         pts_norm_flat = jnp.linalg.norm(flat, axis=-1)

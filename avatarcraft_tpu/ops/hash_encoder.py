@@ -136,7 +136,14 @@ def _corner_indices(spec: HashGridSpec, pos_grid: jax.Array) -> jax.Array:
     return idx.astype(jnp.int32)
 
 
-def hash_encode(table: jax.Array, x: jax.Array, spec: HashGridSpec, *, size: float = 1.0) -> jax.Array:
+def hash_encode(
+    table: jax.Array,
+    x: jax.Array,
+    spec: HashGridSpec,
+    *,
+    size: float = 1.0,
+    layout: str = "leveled",
+) -> jax.Array:
     """Encode positions through the multiresolution hash grid.
 
     Args:
@@ -144,6 +151,13 @@ def hash_encode(table: jax.Array, x: jax.Array, spec: HashGridSpec, *, size: flo
         x: positions ``[..., 3]`` in ``[-size, size]``
            (mapping mirrors encoder/hashencoder/hashgrid.py:126-137).
         spec: static grid configuration.
+        layout: gather grouping — numerically identical, different speed:
+          * "leveled": one gather per LEVEL from that level's table slice
+            (≤2^19 rows). TPU row-gather throughput is ~2-3x higher on
+            sub-M-row tables than on the 6.1M-row flat table (page/TLB
+            effects, docs/PERFORMANCE.md), so this is the default.
+          * "flat": one gather per CORNER over the whole flat table
+            (the round-1 formulation; kept for A/B benchmarking).
 
     Returns:
         features ``[..., num_levels * level_dim]``, zero for out-of-bound inputs
@@ -155,10 +169,47 @@ def hash_encode(table: jax.Array, x: jax.Array, spec: HashGridSpec, *, size: flo
     x = x.reshape(-1, 3)
     x01 = (x + size) / (2.0 * size)
 
-    scales, _, _, _, _ = spec.level_constants
+    scales, resolutions, offsets, sizes, use_hash = spec.level_constants
     L, N, C = spec.num_levels, x01.shape[0], spec.level_dim
 
     oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)  # [N]
+
+    if layout == "leveled":
+        corner_bits = jnp.asarray(
+            [[(c >> d) & 1 for d in range(3)] for c in range(8)], jnp.uint32
+        )  # [8,3]
+        level_outs = []
+        for lvl in range(L):
+            # pos = x*scale + 0.5 (hashencoder.cu:127-131)
+            pos = x01 * jnp.asarray(scales[lvl], x01.dtype) + 0.5  # [N,3]
+            pos_floor = jnp.floor(pos)
+            frac = pos - pos_floor
+            base = pos_floor.astype(jnp.uint32)
+            pg = base[:, None, :] + corner_bits[None, :, :]  # [N,8,3]
+            w = jnp.prod(
+                jnp.where(corner_bits[None] == 1, frac[:, None, :], 1.0 - frac[:, None, :]),
+                axis=-1,
+            )  # [N,8]
+            if use_hash[lvl]:
+                # XOR-prime hash (hashencoder.cu:36-51); uint32 wraps mod 2^32
+                idx = (
+                    pg[..., 0] * jnp.uint32(_PRIMES[0])
+                    ^ pg[..., 1] * jnp.uint32(_PRIMES[1])
+                    ^ pg[..., 2] * jnp.uint32(_PRIMES[2])
+                )
+            else:
+                # dense: x + y*(res+1) + z*(res+1)^2 (hashencoder.cu:54-64)
+                r1 = jnp.uint32(resolutions[lvl] + 1)
+                idx = pg[..., 0] + pg[..., 1] * r1 + pg[..., 2] * r1 * r1
+            idx = (idx % jnp.uint32(sizes[lvl])).astype(jnp.int32)  # [N,8]
+            tbl = jax.lax.slice_in_dim(table, offsets[lvl], offsets[lvl + 1])
+            feats = jnp.take(tbl, idx.reshape(-1), axis=0).reshape(N, 8, C)
+            level_outs.append(
+                jnp.sum(w[..., None].astype(table.dtype) * feats, axis=1)
+            )  # [N,C]
+        out = jnp.stack(level_outs, axis=1)  # [N,L,C]
+        out = jnp.where(oob[:, None, None], 0.0, out).reshape(N, L * C)
+        return out.reshape(*prefix, spec.output_dim)
 
     scale = jnp.asarray(scales, x01.dtype)[:, None, None]  # [L,1,1]
     # pos = x*scale + 0.5 (hashencoder.cu:127-131)

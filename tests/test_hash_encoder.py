@@ -128,6 +128,28 @@ def test_input_grad_piecewise_linear(small_spec, rng):
         np.testing.assert_allclose(np.asarray(g)[0, d], np.asarray(fd), rtol=5e-2, atol=1e-2)
 
 
+def test_gather_layouts_numerically_identical(small_spec, rng):
+    """'leveled' (per-level small-table gathers, the TPU-fast grouping) and
+    'flat' (per-corner whole-table gathers) must be the same function — same
+    values AND same table gradients, including out-of-bound zeroing."""
+    table = jnp.asarray(rng.normal(size=(small_spec.total_params, 2)).astype(np.float32))
+    x = jnp.asarray(
+        np.concatenate(
+            [
+                rng.uniform(-1, 1, size=(48, 3)),
+                [[1.5, 0.0, 0.0]],  # OOB
+            ]
+        ).astype(np.float32)
+    )
+    a = hash_encode(table, x, small_spec, layout="leveled")
+    b = hash_encode(table, x, small_spec, layout="flat")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+    ga = jax.grad(lambda t: (hash_encode(t, x, small_spec, layout="leveled") ** 2).sum())(table)
+    gb = jax.grad(lambda t: (hash_encode(t, x, small_spec, layout="flat") ** 2).sum())(table)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-5, atol=1e-7)
+
+
 def test_jit_and_vmap_compose(small_spec):
     table = init_hash_table(jax.random.PRNGKey(1), small_spec)
     x = jax.random.uniform(jax.random.PRNGKey(2), (8, 3), minval=-1, maxval=1)

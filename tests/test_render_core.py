@@ -190,3 +190,119 @@ def test_forward_sdf_weight_norm_shapes():
     assert out.shape == (5, 1 + SMALL_FIELD.geo_feat_dim)
     inv_s = forward_variance(params)
     np.testing.assert_allclose(float(inv_s), np.exp(0.3 * 10.0), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Normal-mode dispatch (fd7 parity / fd4 / analytic forward-mode)
+# ---------------------------------------------------------------------------
+
+
+def test_analytic_gradient_matches_fd_on_smooth_field():
+    """On a smooth (sphere) SDF the analytic forward-mode gradient and the
+    reference FD7 stencil agree to O(eps^2)."""
+    from avatarcraft_tpu.models.instant_nsr import field_sdf_grad
+
+    field = sphere_field(radius=0.5)
+    x = jnp.asarray(
+        np.random.default_rng(3).uniform(-1.0, 1.0, size=(64, 3)).astype(np.float32)
+    )
+    sdf_a, feat_a, grad_a = field_sdf_grad(field, x, 1.6, 0.005, "analytic")
+    sdf_f, feat_f, grad_f = field_sdf_grad(field, x, 1.6, 0.005, "fd7")
+    np.testing.assert_allclose(np.asarray(sdf_a), np.asarray(sdf_f), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(grad_a), np.asarray(grad_f), atol=1e-3)
+    # exact unit gradient for the sphere SDF
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(grad_a), axis=-1), 1.0, atol=1e-5
+    )
+
+
+def test_analytic_gradient_through_hash_network():
+    """Analytic mode runs through the real hash-grid network and matches FD7
+    away from cell boundaries (the field is piecewise trilinear; FD smooths
+    over eps, so agreement is loose but directionally consistent)."""
+    from avatarcraft_tpu.models.instant_nsr import field_sdf_grad, network_field_fns
+
+    params = init_field_params(jax.random.PRNGKey(0), SMALL_FIELD)
+    field = network_field_fns(params, SMALL_FIELD, 1.6)
+    x = jnp.asarray(
+        np.random.default_rng(5).uniform(-0.8, 0.8, size=(128, 3)).astype(np.float32)
+    )
+    sdf_a, feat_a, grad_a = field_sdf_grad(field, x, 1.6, 0.001, "analytic")
+    sdf_f, feat_f, grad_f = field_sdf_grad(field, x, 1.6, 0.001, "fd7")
+    assert np.isfinite(np.asarray(grad_a)).all()
+    np.testing.assert_allclose(np.asarray(sdf_a), np.asarray(sdf_f), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(feat_a), np.asarray(feat_f), atol=1e-5)
+    # geometric-init field is dominated by the smooth ||x|| component
+    cos = np.sum(
+        np.asarray(grad_a) * np.asarray(grad_f), axis=-1
+    ) / (
+        np.linalg.norm(np.asarray(grad_a), axis=-1)
+        * np.linalg.norm(np.asarray(grad_f), axis=-1)
+        + 1e-9
+    )
+    assert np.mean(cos) > 0.99
+
+
+def _safe_sphere_field(radius=0.5, rgb=(1.0, 0.2, 0.1), inv_s=2000.0, geo_feat_dim=15):
+    """Sphere SDF with a jvp-safe norm: rays through the exact origin hit
+    jnp.linalg.norm's 0/0 tangent, which the analytic normal mode
+    differentiates (the real network field has no such singularity)."""
+
+    def sdf(x):
+        d = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12) - radius
+        return jnp.concatenate([d, jnp.zeros((x.shape[0], geo_feat_dim))], axis=-1)
+
+    def color(x, d, n, f):
+        return jnp.broadcast_to(jnp.asarray(rgb), (x.shape[0], 3))
+
+    return FieldFns(sdf=sdf, color=color, inv_s=lambda: jnp.asarray(inv_s))
+
+
+def test_render_rays_analytic_mode_close_to_fd():
+    """Full render with normal_mode='analytic' stays close to the fd7 render
+    on the converging sphere scene and is differentiable end to end."""
+    params = init_field_params(jax.random.PRNGKey(0), SMALL_FIELD)
+    rays_o, rays_d = _rays_towards_origin(8)
+    out_fd = render_rays(
+        params, rays_o, rays_d, jax.random.PRNGKey(0), SMALL_FIELD, SMALL_RENDER,
+        1.0, field=_safe_sphere_field(0.5),
+    )
+    out_an = render_rays(
+        params, rays_o, rays_d, jax.random.PRNGKey(0), SMALL_FIELD,
+        dataclasses_replace(SMALL_RENDER, normal_mode="analytic"),
+        1.0, field=_safe_sphere_field(0.5),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fd["rgb"]), np.asarray(out_an["rgb"]), atol=5e-3
+    )
+
+    # grad-of-grad: training loss through the analytic (jvp) normals
+    def loss(p):
+        out = render_rays(
+            p, rays_o, rays_d, jax.random.PRNGKey(0), SMALL_FIELD,
+            dataclasses_replace(SMALL_RENDER, normal_mode="analytic"), 1.0,
+        )
+        return out["rgb"].sum() + out["gradient_error"]
+
+    grads = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_fast_path_analytic_mode_close_to_fd4():
+    from avatarcraft_tpu.models.instant_nsr import FastRenderConfig, render_rays_fast
+
+    params = init_field_params(jax.random.PRNGKey(0), SMALL_FIELD)
+    rays_o, rays_d = _rays_towards_origin(8)
+    grid = jnp.full((129, 129, 129), 100.0, jnp.float32)
+    cfg_fd = FastRenderConfig(n_probes=48, k_samples=16, bound=1.6)
+    cfg_an = FastRenderConfig(n_probes=48, k_samples=16, bound=1.6, normal_mode="analytic")
+    out_fd = render_rays_fast(
+        params, rays_o, rays_d, SMALL_FIELD, cfg_fd, grid, 1.0, field=sphere_field(0.5)
+    )
+    out_an = render_rays_fast(
+        params, rays_o, rays_d, SMALL_FIELD, cfg_an, grid, 1.0, field=sphere_field(0.5)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fd["rgb"]), np.asarray(out_an["rgb"]), atol=5e-3
+    )
