@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--grid_warmup_steps", default=2000, type=int,
                         help="steps with a saturated grid before the first "
                              "real occupancy refresh (fast sampler)")
+    parser.add_argument("--normal_mode", default=None,
+                        choices=["fd7", "fd4", "analytic"],
+                        help="normal estimator (default: fd7 for parity, fd4 "
+                             "for fast; analytic = exact jvp gradient, "
+                             "fastest)")
     parser.add_argument(
         "--bkg_mode", default="raw",
         choices=["raw", "composite", "composite_random"],
@@ -104,7 +109,8 @@ def main(argv=None):
     ds = SMPLMultiviewDataset(opt.data_path)
     encoder = opt.encoder or ("tpu_pyramid" if opt.sampler == "fast" else "hashgrid")
     fcfg = FieldConfig(encoder=encoder)
-    rcfg = RenderConfig(num_steps=64, upsample_steps=64, bound=NSR_BOUND, perturb=True)
+    rcfg = RenderConfig(num_steps=64, upsample_steps=64, bound=NSR_BOUND, perturb=True,
+                        normal_mode=opt.normal_mode or "fd7")
     rcfg_val = RenderConfig(num_steps=64, upsample_steps=64, bound=NSR_BOUND, perturb=False)
     cfg = ReconstructConfig(
         batch_size=opt.batch_size,
@@ -191,6 +197,7 @@ def main(argv=None):
         fast_cfg = FastRenderConfig(
             n_probes=opt.n_probes, k_samples=opt.k_samples, bound=NSR_BOUND,
             sample_budget=opt.sample_budget,
+            normal_mode=opt.normal_mode or "fd4",
         )
         params, grid, stats = train_fast(
             ds, fcfg, fast_cfg, cfg,

@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--grid_path", default=None, type=str,
                         help="density grid .npy for --sampler fast (from "
                              "reconstruct); omit = refresh from the SDF")
+    parser.add_argument("--normal_mode", default=None,
+                        choices=["fd7", "fd4", "analytic"],
+                        help="normal estimator (default: fd7 for parity, fd4 "
+                             "for fast; analytic = exact jvp gradient, "
+                             "fastest)")
     return parser
 
 
@@ -62,7 +67,8 @@ def main(argv=None):
     h = opt.render_h or 256
     w = opt.render_w or 256
     bg = 1.0 if opt.white_bkg else 0.0
-    rcfg = RenderConfig(num_steps=64, upsample_steps=64, bound=NSR_BOUND, perturb=False)
+    rcfg = RenderConfig(num_steps=64, upsample_steps=64, bound=NSR_BOUND, perturb=False,
+                        normal_mode=opt.normal_mode or "fd7")
 
     # ---- field / render dispatch (--implicit_model, reference parity for
     # the legacy models the reference only half-supports) -------------------
@@ -139,7 +145,8 @@ def main(argv=None):
                         jnp.zeros((129,) * 3), NSR_BOUND, block=1,
                     )
                 )()
-            fast_cfg = FastRenderConfig(n_probes=192, k_samples=32, bound=NSR_BOUND)
+            fast_cfg = FastRenderConfig(n_probes=192, k_samples=32, bound=NSR_BOUND,
+                                        normal_mode=opt.normal_mode or "fd4")
             chunk = opt.batch_size * 4
 
             _fast = jax.jit(
