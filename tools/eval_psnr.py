@@ -32,6 +32,7 @@ def main(argv=None):
     ap.add_argument("--chunk", default=16384, type=int)
     ap.add_argument("--n_probes", default=192, type=int)
     ap.add_argument("--k_samples", default=32, type=int)
+    ap.add_argument("--normal_mode", default="fd4", choices=["fd7", "fd4", "analytic"])
     ap.add_argument("--white_bkg", default=True)
     ap.add_argument("--out_dir", default=None, help="save rendered PNGs here")
     ap.add_argument("--supersample", default=1, type=int,
@@ -86,7 +87,8 @@ def main(argv=None):
     print(f"loaded step {state['step']} from {opt.state}", file=sys.stderr)
 
     fast_cfg = FastRenderConfig(
-        n_probes=opt.n_probes, k_samples=opt.k_samples, bound=NSR_BOUND
+        n_probes=opt.n_probes, k_samples=opt.k_samples, bound=NSR_BOUND,
+        normal_mode=opt.normal_mode,
     )
     bg = 0.0 if opt.gt_mode == "raw" else (1.0 if opt.white_bkg else 0.0)
     render = jax.jit(
@@ -166,6 +168,7 @@ def main(argv=None):
         "level": opt.level,
         "supersample": ss,
         "gt_mode": opt.gt_mode,
+        "normal_mode": opt.normal_mode,
         "psnr": results,
         "mean_psnr": sum(results.values()) / max(len(results), 1),
     }))
