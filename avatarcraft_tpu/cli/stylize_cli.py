@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "refreshed from the field when omitted)")
     parser.add_argument("--encoder", default=None, choices=["hashgrid", "tpu_pyramid"],
                         help="override the checkpoint's (inferred) encoder")
+    parser.add_argument("--normal_mode", default=None,
+                        choices=["fd7", "fd4", "analytic"],
+                        help="normal estimator for the fast sampler (default "
+                             "fd4; analytic = exact jvp gradient, fastest)")
     return parser
 
 
@@ -136,12 +140,19 @@ def main(argv=None):
     )
 
     grid = None
+    fast_cfg = None
     if opt.sampler == "fast" and opt.grid_path:
         import jax.numpy as jnp
 
         grid = jnp.asarray(np.load(opt.grid_path))
+    if opt.sampler == "fast" and opt.normal_mode:
+        from avatarcraft_tpu.constants import NSR_BOUND as _B
+        from avatarcraft_tpu.models.instant_nsr import FastRenderConfig
+
+        fast_cfg = FastRenderConfig(bound=_B, normal_mode=opt.normal_mode)
     trainer = StylizeTrainer(
-        cfg, fcfg, build_guidance(opt), params_style, params_gt, grid=grid
+        cfg, fcfg, build_guidance(opt), params_style, params_gt, grid=grid,
+        fast_cfg=fast_cfg,
     )
     exp_dir = os.path.join(opt.out_dir, opt.exp_name)
     os.makedirs(exp_dir, exist_ok=True)
