@@ -160,16 +160,29 @@ def make_train_step_fast(
     return train_step
 
 
-def make_grid_update_fn(fcfg: FieldConfig, bound: float, resolution: int = 129):
-    """Jitted density-grid refresh from the current field."""
+def make_grid_update_fn(
+    fcfg: FieldConfig, bound: float, resolution: int = 129, block: int | None = None
+):
+    """Jitted density-grid refresh from the current field.
+
+    ``block``: x-slab height per lax.map step; must divide the resolution.
+    Default picks the largest divisor keeping a slab under ~1M points —
+    at 129^3 that is 43 (3 slabs of ~715k), which keeps the MXU busy instead
+    of 129 sequential 16.6k-point launches."""
     from avatarcraft_tpu.models.instant_nsr import network_field_fns
     from avatarcraft_tpu.ops.occupancy import update_density_grid
+
+    if block is None:
+        block = max(
+            d for d in range(1, resolution + 1)
+            if resolution % d == 0 and d * resolution * resolution <= 1_000_000
+        )
 
     @jax.jit
     def refresh(params, grid):
         field = network_field_fns(params, fcfg, bound)
         return update_density_grid(
-            lambda x: field.sdf(x)[:, 0], grid, bound, block=1
+            lambda x: field.sdf(x)[:, 0], grid, bound, block=block
         )
 
     return refresh

@@ -90,16 +90,27 @@ def main(path: str = "fast"):
 
             params, fcfg = load_params_with_config(ARTIFACT_CKPT)
             grid = jnp.asarray(np.load(ARTIFACT_GRID))
-            # adaptive K on the real trained grid: budget sized so typical
-            # frames never clip (surface rays use ~K, empty rays ~0)
-            budget = H * W * 12
+            # adaptive K on the real trained grid: budget sized so orbit
+            # frames never clip (measured worst case over the full 360 orbit:
+            # 242k valid samples; benchmarks/bench_fast_configs.py sweep)
+            budget = H * W * 5
+            # normal mode rides with the artifact: the color net is trained
+            # against a specific normal estimator, so the bake records which
+            # one is quality-equivalent (PROVENANCE.json); fd4 otherwise
+            normal_mode = "fd4"
+            prov_path = os.path.join(os.path.dirname(ARTIFACT_CKPT), "PROVENANCE.json")
+            if os.path.exists(prov_path):
+                with open(prov_path) as f:
+                    normal_mode = json.load(f).get("normal_mode", "fd4")
             fast_cfg = FastRenderConfig(
-                n_probes=192, k_samples=32, bound=NSR_BOUND, sample_budget=budget
+                n_probes=192, k_samples=32, bound=NSR_BOUND, sample_budget=budget,
+                probe_pool=2, normal_mode=normal_mode,
             )
             metric = "canonical_render_256_rays_per_sec_per_chip"
             print(
                 f"[bench] converged checkpoint: {ARTIFACT_CKPT} "
-                f"(encoder={fcfg.encoder}, budget={budget})",
+                f"(encoder={fcfg.encoder}, budget={budget}, "
+                f"normals={normal_mode}, probe_pool=2)",
                 file=sys.stderr,
             )
         else:

@@ -55,7 +55,10 @@ def main(sections):
     from avatarcraft_tpu.ops.hash_encoder import HashGridSpec, hash_encode, init_hash_table
 
     if "encode" in sections:
-        n = 1_000_000
+        # n capped so the [n*levels*8, 2] gather intermediate stays well under
+        # HBM after TPU (8,128) tile padding (a [64M,2] f32 intermediate pads
+        # 64x to 32 GiB and OOMs the chip)
+        n = 262_144
         hspec = HashGridSpec()
         table = init_hash_table(jax.random.PRNGKey(0), hspec)
         xs = [jax.random.uniform(jax.random.PRNGKey(10 + i), (n, 3), minval=-1.6, maxval=1.6)
@@ -85,7 +88,12 @@ def main(sections):
         raysets = [rays_front(n, jax.random.PRNGKey(30 + i)) for i in range(5)]
         for enc, fc, pp in (("pyramid", fcfg_p, params_p), ("hashgrid", fcfg_h, params_h)):
             for mode in ("fd4", "analytic"):
-                cfg = FastRenderConfig(n_probes=192, k_samples=32, bound=1.6, normal_mode=mode)
+                # sample budget caps the field pass at 12 samples/ray average
+                # (production bench.py sizing); without it the saturated grid
+                # sends all 2.1M slots through the field and the hashgrid
+                # configs OOM on the [slots*levels*8, 2] gather intermediate
+                cfg = FastRenderConfig(n_probes=192, k_samples=32, bound=1.6,
+                                       normal_mode=mode, sample_budget=n * 12)
                 f = jax.jit(lambda p, ro, rd, fc=fc, cfg=cfg: render_rays_fast(
                     p, ro, rd, fc, cfg, grid, 1.0)["rgb"].sum())
                 timeit(f"fast render {enc} K=32 normal={mode}", f,

@@ -36,6 +36,10 @@ def main(argv=None):
     ap.add_argument("--fp16_tables", default=True, type=lambda s: s != "false")
     ap.add_argument("--psnr_json", default=None,
                     help="eval_psnr.py JSON output to embed as provenance")
+    ap.add_argument("--normal_mode", default=None,
+                    help="normal estimator the field was trained/evaled with "
+                         "(fd4|fd7|analytic); recorded in PROVENANCE.json and "
+                         "picked up by bench.py and the render CLIs")
     opt = ap.parse_args(argv)
 
     import jax
@@ -74,6 +78,8 @@ def main(argv=None):
 
     prov = {"source_state": opt.state, "step": step, "encoder": opt.encoder,
             "fp16_tables": bool(opt.fp16_tables)}
+    if opt.normal_mode:
+        prov["normal_mode"] = opt.normal_mode
     if opt.psnr_json and os.path.exists(opt.psnr_json):
         with open(opt.psnr_json) as f:
             prov["eval"] = json.load(f)
