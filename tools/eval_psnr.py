@@ -23,7 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--state", required=True, help="orbax train-state dir")
+    ap.add_argument("--state", default=None, help="orbax train-state dir")
+    ap.add_argument("--ckpt", default=None,
+                    help="baked .pth.tar artifact (e.g. artifacts/canonical/"
+                         "bare_smpl_tpu.pth.tar) — evaluates EXACTLY what "
+                         "bench.py and the render CLIs load (fp16 tables); "
+                         "requires --grid_path")
+    ap.add_argument("--grid_path", default=None, help="density grid .npy for --ckpt")
     ap.add_argument("--data_path", default="/root/reference/data/smpl_da_512")
     ap.add_argument("--views", default="13,62,95")
     ap.add_argument("--level", default=4, type=int, help="resolution divisor")
@@ -70,21 +76,34 @@ def main(argv=None):
     from avatarcraft_tpu.workloads.reconstruct import ReconstructConfig, make_optimizer
 
     ds = SMPLMultiviewDataset(opt.data_path)
-    fcfg = FieldConfig(encoder=opt.encoder)
 
-    # build a like-tree to restore into
-    params_like = jax.device_get(init_field_params(jax.random.PRNGKey(0), fcfg))
-    tx = make_optimizer(ReconstructConfig(), 1000)
-    like = {
-        "params": params_like,
-        "opt_state": jax.device_get(tx.init(params_like)),
-        "grid": np.zeros((129,) * 3, np.float32),
-        "step": 0,
-    }
-    state = load_checkpoint(opt.state, like)
-    params = state["params"]
-    grid = jnp.asarray(state["grid"])
-    print(f"loaded step {state['step']} from {opt.state}", file=sys.stderr)
+    if opt.ckpt:
+        from avatarcraft_tpu.utils.checkpoint import load_params_with_config
+
+        if not opt.grid_path:
+            ap.error("--ckpt requires --grid_path")
+        params, fcfg = load_params_with_config(opt.ckpt)
+        grid = jnp.asarray(np.load(opt.grid_path))
+        state = {"step": -1}
+        print(f"loaded baked artifact {opt.ckpt} (encoder={fcfg.encoder})",
+              file=sys.stderr)
+    elif opt.state:
+        fcfg = FieldConfig(encoder=opt.encoder)
+        # build a like-tree to restore into
+        params_like = jax.device_get(init_field_params(jax.random.PRNGKey(0), fcfg))
+        tx = make_optimizer(ReconstructConfig(), 1000)
+        like = {
+            "params": params_like,
+            "opt_state": jax.device_get(tx.init(params_like)),
+            "grid": np.zeros((129,) * 3, np.float32),
+            "step": 0,
+        }
+        state = load_checkpoint(opt.state, like)
+        params = state["params"]
+        grid = jnp.asarray(state["grid"])
+        print(f"loaded step {state['step']} from {opt.state}", file=sys.stderr)
+    else:
+        ap.error("one of --state / --ckpt is required")
 
     fast_cfg = FastRenderConfig(
         n_probes=opt.n_probes, k_samples=opt.k_samples, bound=NSR_BOUND,
