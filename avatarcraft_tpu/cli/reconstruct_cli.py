@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--sample_budget", default=0, type=int,
                         help="global field-sample budget per batch (adaptive "
                              "K compaction; 0 = off)")
+    parser.add_argument("--scan_steps", default=0, type=int,
+                        help="optimizer steps per jit call (lax.scan over "
+                             "on-device batches); 0 = one step per call. "
+                             "Pick a divisor of the grid refresh interval.")
     parser.add_argument("--grid_warmup_steps", default=2000, type=int,
                         help="steps with a saturated grid before the first "
                              "real occupancy refresh (fast sampler)")
@@ -204,7 +208,7 @@ def main(argv=None):
             max_steps=opt.max_steps, callbacks={"on_step": on_step},
             view_ids=view_ids, state_dir=exp_dir,
             save_state_every=opt.save_state_every, resume_from=opt.resume_from,
-            grid_warmup_steps=opt.grid_warmup_steps,
+            grid_warmup_steps=opt.grid_warmup_steps, scan_steps=opt.scan_steps,
         )
         np.save(os.path.join(exp_dir, f"{opt.exp_name}_grid.npy"),
                 np.asarray(jax.device_get(grid)))

@@ -50,9 +50,21 @@ class SMPLParams:
 
 
 def load_smpl(model_path: str, gender: str = "neutral") -> SMPLParams:
-    """Load SMPL_<GENDER>.pkl (reference: models/smpl.py:52-105)."""
+    """Load SMPL_<GENDER>.pkl (reference: models/smpl.py:52-105), or an .npz
+    with the SMPLParams fields directly (e.g. tools/make_demo_body.py)."""
     if os.path.isdir(model_path):
         model_path = os.path.join(model_path, f"SMPL_{gender.upper()}.pkl")
+    if model_path.endswith(".npz"):
+        data = np.load(model_path)
+        return SMPLParams(
+            v_template=data["v_template"].astype(np.float32),
+            shapedirs=data["shapedirs"].astype(np.float32),
+            posedirs=data["posedirs"].astype(np.float32),
+            J_regressor=data["J_regressor"].astype(np.float32),
+            parents=data["parents"].astype(np.int32),
+            lbs_weights=data["lbs_weights"].astype(np.float32),
+            faces=data["faces"].astype(np.int32),
+        )
     with open(model_path, "rb") as fh:
         data = pickle.load(fh, encoding="latin1")
 

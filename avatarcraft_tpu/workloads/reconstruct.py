@@ -160,6 +160,63 @@ def make_train_step_fast(
     return train_step
 
 
+def make_train_scan_fast(
+    fcfg: FieldConfig,
+    fast_cfg,
+    tx: optax.GradientTransformation,
+    ray_fn,
+    eikonal_weight: float,
+    bkg_mode: str,
+    white_bkg: bool,
+):
+    """S train steps per jit call via lax.scan, with ON-DEVICE batch gathers.
+
+    The per-step driver pays a fixed host/relay round-trip per step (~30 ms
+    measured on this environment — larger than some whole step components);
+    scanning S steps inside one executable amortizes it S-fold and keeps the
+    dataset resident in HBM (images/masks are gathered per step on device,
+    no host->device transfer in the loop). Epoch semantics are preserved:
+    the caller still feeds the shuffled (view, pixel) permutation, as [S, B]
+    index blocks.
+    """
+    from avatarcraft_tpu.models.instant_nsr import render_rays_fast
+
+    composite = bkg_mode.startswith("composite")
+    random_bg = bkg_mode == "composite_random"
+
+    @jax.jit
+    def scan_fn(params, opt_state, poses, images_flat, masks_flat, vis, pis, grid, key):
+        def body(carry, xs):
+            params, opt_state, key = carry
+            vi, pi = xs
+            key, kbg = jax.random.split(key)
+            gt = images_flat[vi, pi]  # [B, 3] on-device gather
+            bg = jnp.float32(1.0 if white_bkg else 0.0)
+            if random_bg:
+                bg = jax.random.uniform(kbg)
+            if composite:
+                m = masks_flat[vi, pi][:, None]
+                gt = gt * m + (1.0 - m) * bg
+            rays_o, rays_d = ray_fn(poses, vi, pi)
+
+            def loss_fn(p):
+                out = render_rays_fast(p, rays_o, rays_d, fcfg, fast_cfg, grid, bg)
+                photo = smooth_l1(out["rgb"], gt)
+                return photo + eikonal_weight * out["gradient_error"]
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), loss
+
+        (params, opt_state, key), losses = jax.lax.scan(
+            body, (params, opt_state, key), (vis, pis)
+        )
+        return params, opt_state, losses
+
+    return scan_fn
+
+
 def make_grid_update_fn(
     fcfg: FieldConfig, bound: float, resolution: int = 129, block: int | None = None
 ):
@@ -266,6 +323,7 @@ def train_fast(
     state_dir: str | None = None,
     save_state_every: int = 0,
     resume_from: str | None = None,
+    scan_steps: int = 0,
 ) -> tuple[dict, jnp.ndarray, dict]:
     """Occupancy-guided reconstruction: grid starts fully occupied (uniform-K
     sampling) and sparsifies via periodic refresh as the field converges.
@@ -274,7 +332,14 @@ def train_fast(
     ``view_ids`` restricts training to a view subset (holdout support);
     ``state_dir``/``save_state_every`` write resumable orbax train state
     (params + optimizer moments + grid + step); ``resume_from`` continues
-    from such a state (the LR schedule resumes via the optax step count)."""
+    from such a state (the LR schedule resumes via the optax step count).
+
+    ``scan_steps`` > 0 runs that many optimizer steps per jit call
+    (lax.scan, dataset resident on device) — amortizes the per-step host
+    round-trip (~30 ms on this environment's relay). Epoch shuffling is
+    preserved (index blocks from the same permutation); grid refresh /
+    state saves / logging round UP to chunk boundaries, so pick divisors
+    of ``grid_update_every`` and ``save_state_every``."""
     from avatarcraft_tpu.ops.occupancy import init_density_grid
 
     mesh = make_mesh()
@@ -284,9 +349,32 @@ def train_fast(
     opt_state = replicate(mesh, tx.init(params))
 
     ray_fn = make_batch_ray_fn(dataset.K, dataset.H, dataset.W)
-    step_fn = make_train_step_fast(
-        fcfg, fast_cfg, tx, ray_fn, cfg.eikonal_weight, 1.0 if cfg.white_bkg else 0.0
-    )
+    scan_fn = images_flat = masks_flat = None
+    if scan_steps > 0:
+        scan_fn = make_train_scan_fast(
+            fcfg, fast_cfg, tx, ray_fn, cfg.eikonal_weight,
+            cfg.bkg_mode, cfg.white_bkg,
+        )
+        images_flat = replicate(
+            mesh,
+            jnp.asarray(
+                dataset.images.reshape(dataset.n_images, -1, 3), jnp.float32
+            ),
+        )
+        if cfg.bkg_mode.startswith("composite"):
+            masks_flat = replicate(
+                mesh,
+                jnp.asarray(
+                    dataset.masks.reshape(dataset.n_images, -1), jnp.float32
+                ),
+            )
+        else:  # never indexed at trace time; tiny placeholder
+            masks_flat = replicate(mesh, jnp.zeros((1, 1), jnp.float32))
+    else:
+        step_fn = make_train_step_fast(
+            fcfg, fast_cfg, tx, ray_fn, cfg.eikonal_weight,
+            1.0 if cfg.white_bkg else 0.0,
+        )
     refresh = make_grid_update_fn(fcfg, fast_cfg.bound, grid_resolution)
 
     grid = replicate(
@@ -298,7 +386,7 @@ def train_fast(
     key = jax.random.PRNGKey(cfg.seed)
     n_pix = dataset.H * dataset.W
     stats = {"losses": [], "rays_per_sec": 0.0}
-    step, t_start, done = 0, None, False
+    step, t_start, timed_from, done = 0, None, 0, False
 
     if resume_from is not None:
         from avatarcraft_tpu.utils.checkpoint import load_checkpoint
@@ -329,8 +417,90 @@ def train_fast(
             },
         )
 
+    def _maybe_refresh(prev_step):
+        """Grid refresh when a chunk [prev_step, step) crossed a boundary,
+        honoring the warmup floor semantics."""
+        nonlocal grid
+        if not grid_update_every:
+            return
+        prev_epochs = prev_step // grid_update_every
+        cur_epochs = step // grid_update_every
+        if cur_epochs <= prev_epochs or step <= 0:
+            return
+        if step < grid_warmup_steps:
+            # warmup: keep the saturated grid -> uniform sampling
+            # while the geometry roughs in everywhere
+            return
+        if step < grid_warmup_steps + grid_update_every:
+            # first real refresh: drop the saturated warmup floor entirely
+            # (EMA-max from 100 would take ~45 refreshes to decay below the
+            # occupancy threshold)
+            grid = refresh(params, jnp.zeros_like(grid))
+        else:
+            grid = refresh(params, grid)
+
+    if scan_steps > 0:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        pair_sharding = NamedSharding(
+            mesh, PartitionSpec(None, mesh.axis_names[0])
+        )
+        buf: list[tuple[np.ndarray, np.ndarray]] = []
+
+        def flush():
+            nonlocal params, opt_state, key, step, t_start
+            if not buf:
+                return
+            vis = jax.device_put(
+                np.stack([v for v, _ in buf]).astype(np.int32), pair_sharding
+            )
+            pis = jax.device_put(
+                np.stack([p for _, p in buf]).astype(np.int32), pair_sharding
+            )
+            n_chunk = len(buf)
+            buf.clear()
+            key, sub = jax.random.split(key)
+            params, opt_state, losses = scan_fn(
+                params, opt_state, poses, images_flat, masks_flat,
+                vis, pis, grid, sub,
+            )
+            first = t_start is None
+            prev = step
+            step += n_chunk
+            if first:
+                # first chunk includes the compile; time from its end
+                jax.block_until_ready(losses)
+                t_start = time.perf_counter()
+                timed_from = step
+            if log_every:
+                stats["losses"].append((step, float(losses[-1])))
+            _maybe_refresh(prev)
+            if callbacks and "on_step" in callbacks:
+                callbacks["on_step"](step, params, losses[-1], grid)
+            if (
+                state_dir
+                and save_state_every
+                and step // save_state_every > prev // save_state_every
+            ):
+                _save_state("state_latest")
+
+        for epoch in range(cfg.epochs):
+            if done:
+                break
+            for view_idx, pix_idx in pixel_batches(
+                dataset.n_images, n_pix, cfg.batch_size, rng, view_ids
+            ):
+                buf.append((view_idx, pix_idx))
+                if max_steps is not None and step + len(buf) >= max_steps:
+                    flush()  # partial tail chunk (one extra compile)
+                    done = True
+                    break
+                if len(buf) == scan_steps:
+                    flush()
+        flush()
+
     for epoch in range(cfg.epochs):
-        if done:
+        if done or scan_steps > 0:
             break
         for view_idx, pix_idx in pixel_batches(
             dataset.n_images, n_pix, cfg.batch_size, rng, view_ids
@@ -347,26 +517,17 @@ def train_fast(
             params, opt_state, loss, aux = step_fn(
                 params, opt_state, poses, vi, pi, gt_d, grid, sub, jnp.float32(bg)
             )
-            if step == 0:
+            if t_start is None:
                 jax.block_until_ready(loss)
                 t_start = time.perf_counter()
+                timed_from = step + 1
             if log_every and step % log_every == 0:
                 stats["losses"].append((step, float(loss)))
-            if grid_update_every and step > 0 and step % grid_update_every == 0:
-                if step < grid_warmup_steps:
-                    # warmup: keep the saturated grid -> uniform sampling
-                    # while the geometry roughs in everywhere
-                    pass
-                elif step < grid_warmup_steps + grid_update_every:
-                    # first real refresh: drop the saturated warmup floor
-                    # entirely (EMA-max from 100 would take ~45 refreshes to
-                    # decay below the occupancy threshold)
-                    grid = refresh(params, jnp.zeros_like(grid))
-                else:
-                    grid = refresh(params, grid)
-            if callbacks and "on_step" in callbacks:
-                callbacks["on_step"](step, params, loss, grid)
+            prev = step
             step += 1
+            _maybe_refresh(prev)
+            if callbacks and "on_step" in callbacks:
+                callbacks["on_step"](step - 1, params, loss, grid)
             if state_dir and save_state_every and step % save_state_every == 0:
                 _save_state("state_latest")
             if max_steps is not None and step >= max_steps:
@@ -376,10 +537,10 @@ def train_fast(
     jax.block_until_ready(params)
     if state_dir:
         _save_state("state_final")
-    if t_start is not None and step > 1:
+    if t_start is not None and step > timed_from:
         dt = time.perf_counter() - t_start
-        stats["rays_per_sec"] = (step - 1) * cfg.batch_size / dt
-        stats["steps_per_sec"] = (step - 1) / dt
+        stats["rays_per_sec"] = (step - timed_from) * cfg.batch_size / dt
+        stats["steps_per_sec"] = (step - timed_from) / dt
     stats["steps"] = step
     return params, grid, stats
 
