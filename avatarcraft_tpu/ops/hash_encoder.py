@@ -175,9 +175,6 @@ def hash_encode(
     oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)  # [N]
 
     if layout == "leveled":
-        corner_bits = jnp.asarray(
-            [[(c >> d) & 1 for d in range(3)] for c in range(8)], jnp.uint32
-        )  # [8,3]
         level_outs = []
         for lvl in range(L):
             # pos = x*scale + 0.5 (hashencoder.cu:127-131)
@@ -185,28 +182,37 @@ def hash_encode(
             pos_floor = jnp.floor(pos)
             frac = pos - pos_floor
             base = pos_floor.astype(jnp.uint32)
-            pg = base[:, None, :] + corner_bits[None, :, :]  # [N,8,3]
-            w = jnp.prod(
-                jnp.where(corner_bits[None] == 1, frac[:, None, :], 1.0 - frac[:, None, :]),
-                axis=-1,
-            )  # [N,8]
-            if use_hash[lvl]:
-                # XOR-prime hash (hashencoder.cu:36-51); uint32 wraps mod 2^32
-                idx = (
-                    pg[..., 0] * jnp.uint32(_PRIMES[0])
-                    ^ pg[..., 1] * jnp.uint32(_PRIMES[1])
-                    ^ pg[..., 2] * jnp.uint32(_PRIMES[2])
-                )
-            else:
-                # dense: x + y*(res+1) + z*(res+1)^2 (hashencoder.cu:54-64)
-                r1 = jnp.uint32(resolutions[lvl] + 1)
-                idx = pg[..., 0] + pg[..., 1] * r1 + pg[..., 2] * r1 * r1
-            idx = (idx % jnp.uint32(sizes[lvl])).astype(jnp.int32)  # [N,8]
             tbl = jax.lax.slice_in_dim(table, offsets[lvl], offsets[lvl + 1])
-            feats = jnp.take(tbl, idx.reshape(-1), axis=0).reshape(N, 8, C)
-            level_outs.append(
-                jnp.sum(w[..., None].astype(table.dtype) * feats, axis=1)
-            )  # [N,C]
+            # One narrow gather PER CORNER, accumulated immediately: the
+            # gather output ([N, C], C as small as 2) then fuses into the
+            # weighted add and never materializes. A combined [N*8, C]
+            # gather looks tidier but its fusion output pads C up to the
+            # 128-lane tile on TPU — a 64x memory blowup that OOMs at
+            # render-chunk sizes.
+            lvl_out = jnp.zeros((N, C), table.dtype)
+            for corner in range(8):
+                bits = jnp.asarray(
+                    [(corner >> d) & 1 for d in range(3)], jnp.uint32
+                )
+                pg = base + bits[None, :]  # [N,3]
+                w = jnp.prod(
+                    jnp.where(bits[None, :] == 1, frac, 1.0 - frac), axis=-1
+                )  # [N]
+                if use_hash[lvl]:
+                    # XOR-prime hash (hashencoder.cu:36-51); uint32 wraps
+                    idx = (
+                        pg[..., 0] * jnp.uint32(_PRIMES[0])
+                        ^ pg[..., 1] * jnp.uint32(_PRIMES[1])
+                        ^ pg[..., 2] * jnp.uint32(_PRIMES[2])
+                    )
+                else:
+                    # dense: x + y*(res+1) + z*(res+1)^2 (hashencoder.cu:54-64)
+                    r1 = jnp.uint32(resolutions[lvl] + 1)
+                    idx = pg[..., 0] + pg[..., 1] * r1 + pg[..., 2] * r1 * r1
+                idx = (idx % jnp.uint32(sizes[lvl])).astype(jnp.int32)  # [N]
+                feats = jnp.take(tbl, idx, axis=0)  # [N, C]
+                lvl_out = lvl_out + w[:, None].astype(table.dtype) * feats
+            level_outs.append(lvl_out)
         out = jnp.stack(level_outs, axis=1)  # [N,L,C]
         out = jnp.where(oob[:, None, None], 0.0, out).reshape(N, L * C)
         return out.reshape(*prefix, spec.output_dim)

@@ -66,22 +66,46 @@ def main(path: str = "fast"):
     )
 
     H = W = 256
-    n_frames = 3
-    frames = []
-    for i in range(1 + n_frames):
-        c2w = pose_spherical(10.0 + 72.0 * i, 0.0, CANONICAL_CAMERA_DIST_VAL)
-        frames.append(pose2rays(H, W, c2w))
+    # frame GROUPS: each timed call renders n_frames distinct cameras inside
+    # one executable (lax.scan) — this environment's execution relay adds a
+    # ~30 ms+ round-trip per call, so per-frame-per-call timing measures the
+    # relay, not the chip (docs/PERFORMANCE.md). Every camera across every
+    # group is distinct (the relay memoizes identical executions).
+    n_frames, n_groups = 4, 4
+    groups = []
+    for g in range(n_groups):
+        fs = [
+            pose2rays(H, W, pose_spherical(
+                7.0 + 91.0 * i + 23.0 * g, -3.0 * g, CANONICAL_CAMERA_DIST_VAL))
+            for i in range(n_frames)
+        ]
+        import jax.numpy as _jnp
+
+        groups.append((
+            _jnp.stack([f[0] for f in fs]), _jnp.stack([f[1] for f in fs]),
+        ))
 
     if path == "parity":
         fcfg = FieldConfig(encoder="hashgrid")
         rcfg = RenderConfig(num_steps=64, upsample_steps=64, bound=NSR_BOUND)
         params = init_field_params(jax.random.PRNGKey(0), fcfg)
-        render = jax.jit(
-            lambda p, ro, rd, k: render_rays_chunked(
-                p, ro, rd, k, fcfg, rcfg, 1.0, chunk=8192
-            )["rgb"].sum()
+
+        # parity stays ONE frame per call: scanning several fd7 64+64 frames
+        # into a single executable reproducibly crashed the TPU worker
+        # (program size), so this timing is conservative by the relay
+        # round-trip — acceptable for a secondary metric. chunk 4096: fd7
+        # puts [chunk*128*7] points through the encoder per chunk; 8192
+        # OOMs against the tile-padded (64x) copy of the narrow [rows,2]
+        # hash table.
+        def _render_one(p, ro, rd, k):
+            out = render_rays_chunked(p, ro, rd, k, fcfg, rcfg, 1.0, chunk=4096)
+            return out["rgb"].sum()
+
+        n_frames = 1
+        render = jax.jit(_render_one)
+        args = lambda g: (
+            params, groups[g][0][0], groups[g][1][0], jax.random.PRNGKey(g),
         )
-        args = lambda i: (params, *frames[i], jax.random.PRNGKey(i))
         metric = "canonical_render_256_rays_per_sec_per_chip_parity"
     else:
         use_artifact = os.path.exists(ARTIFACT_CKPT) and os.path.exists(ARTIFACT_GRID)
@@ -124,19 +148,24 @@ def main(path: str = "fast"):
             print("[bench] no artifact checkpoint; random-init field, "
                   "saturated grid (conservative)", file=sys.stderr)
 
-        def _render(p, ro, rd, g):
-            out = render_rays_fast(p, ro, rd, fcfg, fast_cfg, g, 1.0)
-            return out["rgb"].sum()
+        def _render_group(p, ros, rds, g):
+            def body(c, xr):
+                ro, rd = xr
+                out = render_rays_fast(p, ro, rd, fcfg, fast_cfg, g, 1.0)
+                return c + out["rgb"].sum(), None
+            return jax.lax.scan(body, 0.0, (ros, rds))[0]
 
-        render = jax.jit(_render)
-        args = lambda i: (params, *frames[i], grid)
+        render = jax.jit(_render_group)
+        args = lambda g: (params, *groups[g], grid)
 
-    _ = float(render(*args(0)))  # compile + settle
-
-    t0 = time.perf_counter()
-    for i in range(1, 1 + n_frames):
-        _ = float(render(*args(i)))
-    dt = (time.perf_counter() - t0) / n_frames
+    _ = float(render(*args(0)))  # compile
+    _ = float(render(*args(1)))  # settle
+    ts = []
+    for g in (2, 3):
+        t0 = time.perf_counter()
+        _ = float(render(*args(g)))
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts) / n_frames
 
     rays_per_sec = H * W / dt
     print(
