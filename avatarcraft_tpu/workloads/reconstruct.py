@@ -229,17 +229,19 @@ def make_grid_update_fn(
     from avatarcraft_tpu.models.instant_nsr import network_field_fns
     from avatarcraft_tpu.ops.occupancy import update_density_grid
 
-    if block is None:
-        block = max(
-            d for d in range(1, resolution + 1)
-            if resolution % d == 0 and d * resolution * resolution <= 1_000_000
-        )
-
     @jax.jit
     def refresh(params, grid):
+        # the grid's actual resolution is static at trace time and may
+        # differ from the ``resolution`` default (stylize passes whatever
+        # grid the checkpoint shipped) — derive the slab height from it
+        R = grid.shape[0]
+        b = block or max(
+            d for d in range(1, R + 1)
+            if R % d == 0 and d * R * R <= 1_000_000
+        )
         field = network_field_fns(params, fcfg, bound)
         return update_density_grid(
-            lambda x: field.sdf(x)[:, 0], grid, bound, block=block
+            lambda x: field.sdf(x)[:, 0], grid, bound, block=b
         )
 
     return refresh
