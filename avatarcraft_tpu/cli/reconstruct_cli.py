@@ -70,8 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--normal_mode", default=None,
                         choices=["fd7", "fd4", "analytic"],
                         help="normal estimator (default: fd7 for parity, fd4 "
-                             "for fast; analytic = exact jvp gradient, "
-                             "fastest)")
+                             "for fast). 'analytic' (exact piecewise-trilinear "
+                             "jvp) is a RENDER-TIME option only: its cell-slope "
+                             "|grad| noise feeds the eikonal loss and destroys "
+                             "a converged field (measured PSNR 31->1 dB in 1k "
+                             "steps; tools/finetune_color.py). Training with "
+                             "it is rejected.")
     parser.add_argument(
         "--bkg_mode", default="raw",
         choices=["raw", "composite", "composite_random"],
@@ -109,6 +113,17 @@ def main(argv=None):
 
     if opt.data_format == "neuman":
         raise NotImplementedError("neuman data format is dead in the reference too")
+    if opt.normal_mode == "analytic":
+        # reconstruction always trains with a nonzero eikonal weight (0.1,
+        # reference: reconstruct.py:105-106); the analytic normal's exact
+        # cell-slope |grad| is the wrong signal for that loss and crushes the
+        # tables (measured PSNR 31->1 dB in 1k steps). Render-time use is
+        # fine: pass --normal_mode analytic to the render CLIs instead.
+        raise SystemExit(
+            "--normal_mode analytic is a render-time option; training under "
+            "the analytic eikonal destroys the field. Use fd7/fd4 for "
+            "training and 'analytic' only in render/eval CLIs."
+        )
 
     ds = SMPLMultiviewDataset(opt.data_path)
     encoder = opt.encoder or ("tpu_pyramid" if opt.sampler == "fast" else "hashgrid")

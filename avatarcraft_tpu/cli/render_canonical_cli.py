@@ -124,6 +124,18 @@ def main(argv=None):
             import dataclasses as _dc
 
             fcfg = _dc.replace(fcfg, encoder=opt.encoder)
+        if opt.normal_mode is None:
+            # baked artifacts record which estimator the color net was
+            # trained against (PROVENANCE.json); honor it unless overridden
+            from avatarcraft_tpu.utils.checkpoint import artifact_normal_mode
+
+            baked = artifact_normal_mode(opt.weights_path)
+            if baked:
+                print(f"[render] normal_mode={baked} (from artifact provenance)")
+                import dataclasses as _dc
+
+                rcfg = _dc.replace(rcfg, normal_mode=baked)
+                opt.normal_mode = baked
         print(f"[render] field: encoder={fcfg.encoder} use_viewdirs={fcfg.use_viewdirs}")
 
         if opt.sampler == "fast":

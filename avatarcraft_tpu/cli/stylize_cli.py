@@ -145,6 +145,14 @@ def main(argv=None):
         import jax.numpy as jnp
 
         grid = jnp.asarray(np.load(opt.grid_path))
+    if opt.sampler == "fast" and opt.normal_mode is None:
+        # honor the normal estimator the baked artifact was trained with
+        from avatarcraft_tpu.utils.checkpoint import artifact_normal_mode
+
+        baked = artifact_normal_mode(opt.weights_path)
+        if baked:
+            print(f"[stylize] normal_mode={baked} (from artifact provenance)")
+            opt.normal_mode = baked
     if opt.sampler == "fast" and opt.normal_mode:
         from avatarcraft_tpu.constants import NSR_BOUND as _B
         from avatarcraft_tpu.models.instant_nsr import FastRenderConfig

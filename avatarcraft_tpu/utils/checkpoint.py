@@ -277,3 +277,23 @@ def load_params_with_config(path: str, like: dict | None = None):
         with open(sidecar) as fp:
             return params, field_config_from_dict(json.load(fp))
     return params, infer_field_config(params)
+
+
+def artifact_normal_mode(ckpt_path: str) -> str | None:
+    """Normal estimator recorded next to a baked artifact checkpoint.
+
+    tools/bake_artifact.py writes PROVENANCE.json alongside the .pth.tar;
+    the color net is trained against one specific normal estimator, so
+    renderers should default to the recorded mode when the user does not
+    override it (mismatched normals cost ~1 dB; docs/PERFORMANCE.md)."""
+    import json
+
+    prov = os.path.join(os.path.dirname(os.path.abspath(ckpt_path)),
+                        "PROVENANCE.json")
+    if os.path.isfile(prov):
+        try:
+            with open(prov) as fp:
+                return json.load(fp).get("normal_mode")
+        except (OSError, ValueError):
+            return None
+    return None

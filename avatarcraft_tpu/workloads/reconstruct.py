@@ -235,9 +235,10 @@ def make_grid_update_fn(
         # differ from the ``resolution`` default (stylize passes whatever
         # grid the checkpoint shipped) — derive the slab height from it
         R = grid.shape[0]
-        b = block or max(
-            d for d in range(1, R + 1)
-            if R % d == 0 and d * R * R <= 1_000_000
+        b = block if block is not None else max(
+            (d for d in range(1, R + 1)
+             if R % d == 0 and d * R * R <= 1_000_000),
+            default=1,
         )
         field = network_field_fns(params, fcfg, bound)
         return update_density_grid(

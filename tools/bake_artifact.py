@@ -33,7 +33,10 @@ def main(argv=None):
     ap.add_argument("--state", required=True, help="orbax train-state dir")
     ap.add_argument("--out", default="artifacts/canonical")
     ap.add_argument("--encoder", default="tpu_pyramid")
-    ap.add_argument("--fp16_tables", default=True, type=lambda s: s != "false")
+    ap.add_argument(
+        "--fp16_tables", default=True,
+        type=lambda s: s.strip().lower() not in ("false", "0", "no"),
+    )
     ap.add_argument("--psnr_json", default=None,
                     help="eval_psnr.py JSON output to embed as provenance")
     ap.add_argument("--normal_mode", default=None,

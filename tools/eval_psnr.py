@@ -38,7 +38,10 @@ def main(argv=None):
     ap.add_argument("--chunk", default=16384, type=int)
     ap.add_argument("--n_probes", default=192, type=int)
     ap.add_argument("--k_samples", default=32, type=int)
-    ap.add_argument("--normal_mode", default="fd4", choices=["fd7", "fd4", "analytic"])
+    ap.add_argument("--normal_mode", default=None,
+                    choices=["fd7", "fd4", "analytic"],
+                    help="default: the artifact's PROVENANCE.json normal_mode "
+                         "when evaling --ckpt, else fd4")
     ap.add_argument("--white_bkg", default=True)
     ap.add_argument("--out_dir", default=None, help="save rendered PNGs here")
     ap.add_argument("--supersample", default=1, type=int,
@@ -85,6 +88,10 @@ def main(argv=None):
         params, fcfg = load_params_with_config(opt.ckpt)
         grid = jnp.asarray(np.load(opt.grid_path))
         state = {"step": -1}
+        if opt.normal_mode is None:
+            from avatarcraft_tpu.utils.checkpoint import artifact_normal_mode
+
+            opt.normal_mode = artifact_normal_mode(opt.ckpt)
         print(f"loaded baked artifact {opt.ckpt} (encoder={fcfg.encoder})",
               file=sys.stderr)
     elif opt.state:
@@ -105,6 +112,7 @@ def main(argv=None):
     else:
         ap.error("one of --state / --ckpt is required")
 
+    opt.normal_mode = opt.normal_mode or "fd4"
     fast_cfg = FastRenderConfig(
         n_probes=opt.n_probes, k_samples=opt.k_samples, bound=NSR_BOUND,
         normal_mode=opt.normal_mode,
