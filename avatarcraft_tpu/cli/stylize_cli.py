@@ -25,7 +25,12 @@ def build_parser() -> argparse.ArgumentParser:
     options.set_pe_option(parser)
     options.set_render_option(parser)
     options.set_trajectory_option(parser)
-    parser.add_argument("--guidance_type", default="diffusion", choices=["clip", "diffusion"])
+    parser.add_argument("--guidance_type", default="diffusion",
+                        choices=["clip", "diffusion", "toy"],
+                        help="toy = the in-env trained conditional denoiser "
+                             "(models/toy_guidance; tools/train_toy_guidance.py)")
+    parser.add_argument("--toy_weights", default="artifacts/toy_guidance", type=str,
+                        help="toy-guidance checkpoint dir (--guidance_type toy)")
     parser.add_argument("--tgt_text", default="zombie", type=str)
     parser.add_argument("--subsample_scale", default=4, type=int)
     parser.add_argument("--stylize_head", default=True, type=options.str2bool)
@@ -70,7 +75,23 @@ def build_parser() -> argparse.ArgumentParser:
 def build_guidance(opt):
     from avatarcraft_tpu.models.diffusion import SDSGuidance, make_dummy_modules
 
-    if opt.sd_weights:
+    if opt.guidance_type == "toy":
+        from avatarcraft_tpu.models.toy_guidance import (
+            STYLES,
+            load_toy_guidance,
+            make_toy_modules,
+            style_index,
+        )
+
+        params, tcfg = load_toy_guidance(opt.toy_weights)
+        if style_index(opt.tgt_text) < 0:
+            raise SystemExit(
+                f"--tgt_text must name a trained toy style ({', '.join(STYLES)})"
+            )
+        modules = make_toy_modules(params, tcfg)
+        print(f"[stylize] toy guidance from {opt.toy_weights} "
+              f"(styles: {', '.join(tcfg.styles)})")
+    elif opt.sd_weights:
         from avatarcraft_tpu.models.sd import load_stable_diffusion_modules
 
         modules = load_stable_diffusion_modules(opt.sd_weights, version=opt.sd_version)

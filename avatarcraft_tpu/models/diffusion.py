@@ -113,6 +113,8 @@ class SDSGuidance:
         pred_rgb: jnp.ndarray,
         guidance_scale: float = 100.0,
         pred_depth: jnp.ndarray | None = None,
+        t_override: jnp.ndarray | None = None,
+        noise_override: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         """d(SDS)/d(pred_rgb). pred_rgb: [1, 3, H, W] in [0, 1].
 
@@ -136,10 +138,20 @@ class SDSGuidance:
         latents, vjp_fn = jax.vjp(encode, pred_rgb)
 
         k_t, k_noise = jax.random.split(key)
-        t = jax.random.randint(
-            k_t, (), self.schedule.min_step, self.schedule.max_step + 1
+        # t/noise injection: deterministic replay for parity tests against the
+        # torch transcription of mannual_backward (tests/test_sds_torch_parity)
+        t = (
+            jnp.asarray(t_override)
+            if t_override is not None
+            else jax.random.randint(
+                k_t, (), self.schedule.min_step, self.schedule.max_step + 1
+            )
         )
-        noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+        noise = (
+            jnp.asarray(noise_override, latents.dtype)
+            if noise_override is not None
+            else jax.random.normal(k_noise, latents.shape, latents.dtype)
+        )
         a_t = self.alphas[t]
         latents_noisy = jnp.sqrt(a_t) * latents + jnp.sqrt(1.0 - a_t) * noise
 

@@ -86,11 +86,13 @@ def _norm_init(c):
     return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}
 
 
-def timestep_embedding(t: jnp.ndarray, dim: int, max_period=10000.0) -> jnp.ndarray:
+def timestep_embedding(
+    t: jnp.ndarray, dim: int, max_period=10000.0, dtype=jnp.float32
+) -> jnp.ndarray:
     """Sinusoidal embedding, diffusers flip_sin_to_cos=True convention."""
     half = dim // 2
-    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half) / half)
-    args = t[:, None].astype(jnp.float32) * freqs[None]
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=dtype) / half)
+    args = t[:, None].astype(dtype) * freqs[None]
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
@@ -204,7 +206,9 @@ def _transformer(p, x, ctx, heads, groups):
     h = h + _attn_apply(p["attn2"], layer_norm(p["norm2"], h), ctx, heads)
     ff_in = layer_norm(p["norm3"], h)
     a, gate = jnp.split(linear(p["ff_geglu"], ff_in), 2, axis=-1)
-    h = h + linear(p["ff_out"], a * jax.nn.gelu(gate))
+    # diffusers GEGLU uses exact erf-gelu; jax.nn.gelu defaults to the tanh
+    # approximation (~2e-4 divergence — caught by tests/test_sds_torch_parity)
+    h = h + linear(p["ff_out"], a * jax.nn.gelu(gate, approximate=False))
     return conv2d(p["proj_out"], h.reshape(B, H, W, C), padding=0) + res
 
 
@@ -278,7 +282,7 @@ def unet_apply(
     g = cfg.norm_groups
     x = latents.transpose(0, 2, 3, 1)  # NHWC
 
-    temb = timestep_embedding(t, cfg.block_out_channels[0])
+    temb = timestep_embedding(t, cfg.block_out_channels[0], dtype=latents.dtype)
     temb = linear(params["time_mlp2"], jax.nn.silu(linear(params["time_mlp1"], temb)))
 
     h = conv2d(params["conv_in"], x)

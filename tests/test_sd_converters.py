@@ -199,8 +199,8 @@ def torch_unet(sd, cfg, lat, t, ctx):
     g = cfg.norm_groups
     ch = cfg.block_out_channels
     half = ch[0] // 2
-    freqs = torch.exp(-math.log(10000.0) * torch.arange(half) / half)
-    args = t[:, None].float() * freqs[None]
+    freqs = torch.exp(-math.log(10000.0) * torch.arange(half, dtype=lat.dtype) / half)
+    args = t[:, None].to(lat.dtype) * freqs[None]
     temb = torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
     temb = t_lin(sd, "time_embedding.linear_2", F.silu(t_lin(sd, "time_embedding.linear_1", temb)))
 
