@@ -175,6 +175,13 @@ class SDSGuidance:
         return grad_img
 
     # -- txt2img sampling (capability parity) --------------------------------
+    def _cfg_eps(self, latents, t, text_embeddings, guidance_scale):
+        lat2 = jnp.concatenate([latents] * 2, axis=0)
+        t2 = jnp.full((lat2.shape[0],), int(t), jnp.int32)
+        eps = self.m.unet(lat2, t2, text_embeddings)
+        eps_u, eps_c = jnp.split(eps, 2, axis=0)
+        return eps_u + guidance_scale * (eps_c - eps_u)
+
     def produce_latents(
         self,
         key: jax.Array,
@@ -185,33 +192,125 @@ class SDSGuidance:
         guidance_scale: float = 7.5,
         latents: jnp.ndarray | None = None,
         latent_channels: int = 4,
+        scheduler: str = "pndm",
     ) -> jnp.ndarray:
-        """DDIM (eta=0) sampling loop (reference: models/diffusion.py:266-290
-        uses the PNDM scheduler; we use the deterministic DDIM update over the
-        same alphas, which shares the same fixed points)."""
+        """Deterministic txt2img sampling (reference: models/diffusion.py:266-290).
+
+        ``scheduler='pndm'`` (default, reference parity) runs the PNDM/PLMS
+        linear-multistep update in the Stable Diffusion pipeline configuration
+        (skip_prk_steps=True, steps_offset=1, set_alpha_to_one=False —
+        diffusers scheduling_pndm.py: set_timesteps builds the PLMS timestep
+        list, step_plms keeps a 4-deep eps history, _get_prev_sample applies
+        the PNDM transfer coefficients). ``scheduler='ddim'`` keeps the
+        eta=0 DDIM update over the same alphas."""
         f = self.m.latent_scale
         B = text_embeddings.shape[0] // 2
         if latents is None:
             latents = jax.random.normal(
                 key, (B, latent_channels, height // f, width // f)
             )
-
-        T = self.schedule.num_train_timesteps
-        step_ids = np.linspace(T - 1, 0, num_inference_steps).round().astype(np.int32)
         alphas = self.schedule.alphas_cumprod
+        T = self.schedule.num_train_timesteps
 
-        for i, t in enumerate(step_ids):
-            lat2 = jnp.concatenate([latents] * 2, axis=0)
-            t2 = jnp.full((lat2.shape[0],), int(t), jnp.int32)
-            eps = self.m.unet(lat2, t2, text_embeddings)
-            eps_u, eps_c = jnp.split(eps, 2, axis=0)
-            eps_hat = eps_u + guidance_scale * (eps_c - eps_u)
+        if scheduler == "ddim":
+            step_ids = (
+                np.linspace(T - 1, 0, num_inference_steps).round().astype(np.int32)
+            )
+            for i, t in enumerate(step_ids):
+                eps_hat = self._cfg_eps(latents, t, text_embeddings, guidance_scale)
+                a_t = alphas[t]
+                a_prev = alphas[step_ids[i + 1]] if i + 1 < len(step_ids) else 1.0
+                x0 = (latents - jnp.sqrt(1 - a_t) * eps_hat) / jnp.sqrt(a_t)
+                latents = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1 - a_prev) * eps_hat
+            return latents
 
+        if scheduler != "pndm":
+            raise ValueError(f"unknown scheduler {scheduler!r}")
+
+        # ---- PNDM / PLMS (SD pipeline config: skip_prk_steps) --------------
+        ratio = T // num_inference_steps
+        base = (np.arange(0, num_inference_steps) * ratio).round().astype(np.int64) + 1
+        # PLMS warm-start: the second timestep is visited twice
+        # (diffusers set_timesteps: concat(ts[:-1], ts[-2:-1], ts[-1:])[::-1])
+        plms_ts = np.concatenate([base[:-1], base[-2:-1], base[-1:]])[::-1]
+
+        # set_alpha_to_one=False -> the final step targets alphas_cumprod[0]
+        final_alpha = alphas[0]
+
+        def prev_sample(sample, t, t_prev, eps):
             a_t = alphas[t]
-            a_prev = alphas[step_ids[i + 1]] if i + 1 < len(step_ids) else 1.0
-            x0 = (latents - jnp.sqrt(1 - a_t) * eps_hat) / jnp.sqrt(a_t)
-            latents = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1 - a_prev) * eps_hat
+            a_prev = alphas[t_prev] if t_prev >= 0 else final_alpha
+            b_t = 1.0 - a_t
+            b_prev = 1.0 - a_prev
+            sample_coeff = (a_prev / a_t) ** 0.5
+            denom = a_t * b_prev**0.5 + (a_t * b_t * a_prev) ** 0.5
+            return sample_coeff * sample - (a_prev - a_t) * eps / denom
+
+        ets: list = []
+        cur_sample = None
+        for counter, t in enumerate(plms_ts):
+            t = int(t)
+            t_prev = t - ratio
+            eps_hat = self._cfg_eps(latents, t, text_embeddings, guidance_scale)
+
+            if counter != 1:
+                ets = ets[-3:] + [eps_hat]
+            else:
+                # warm-start replay: reuse the first sample, step from t+ratio
+                t_prev = t
+                t = t + ratio
+
+            if len(ets) == 1 and counter == 0:
+                eps_lms = eps_hat
+                cur_sample = latents
+            elif len(ets) == 1 and counter == 1:
+                eps_lms = (eps_hat + ets[-1]) / 2.0
+                latents = cur_sample
+                cur_sample = None
+            elif len(ets) == 2:
+                eps_lms = (3.0 * ets[-1] - ets[-2]) / 2.0
+            elif len(ets) == 3:
+                eps_lms = (23.0 * ets[-1] - 16.0 * ets[-2] + 5.0 * ets[-3]) / 12.0
+            else:
+                eps_lms = (
+                    55.0 * ets[-1] - 59.0 * ets[-2] + 37.0 * ets[-3] - 9.0 * ets[-4]
+                ) / 24.0
+
+            latents = prev_sample(latents, t, t_prev, eps_lms)
         return latents
+
+    def prompt_to_img(
+        self,
+        prompts,
+        height: int = 512,
+        width: int = 512,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        latents: jnp.ndarray | None = None,
+        key: jax.Array | None = None,
+        scheduler: str = "pndm",
+    ) -> np.ndarray:
+        """prompts -> uint8 images [B, H, W, 3]
+        (reference: models/diffusion.py:314-333: embeds -> produce_latents ->
+        decode_latents -> uint8 HWC)."""
+        if self.m.vae_decode is None:
+            raise ValueError("prompt_to_img needs modules with a VAE decoder")
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        text_embeddings = self.get_text_embeds(prompts)
+        latents = self.produce_latents(
+            key if key is not None else jax.random.PRNGKey(0),
+            text_embeddings,
+            height=height,
+            width=width,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            latents=latents,
+            scheduler=scheduler,
+        )
+        imgs = self.m.vae_decode(latents)  # [B, 3, H, W] in [0, 1]
+        imgs = np.asarray(imgs).transpose(0, 2, 3, 1)
+        return (imgs * 255).round().astype(np.uint8)
 
 
 def make_dummy_modules(
