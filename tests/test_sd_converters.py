@@ -7,8 +7,43 @@ require numeric agreement with our JAX apply functions.
 
 The CLIP test uses the real ``transformers.CLIPTextModel``; the VAE/UNet
 torch forwards are transcribed here from the diffusers architecture
-definitions (ResnetBlock2D / Transformer2DModel / AttentionBlock /
-Down-/Upsample2D) so they are independent of our JAX code.
+definitions so they are independent of our JAX code.
+
+ORACLE PROVENANCE (diffusers is not installable in this container, so the
+torch oracle is derived from the upstream sources; each transcription cites
+the upstream module + class it mirrors — diffusers @ v0.14-v0.2x line):
+
+* ``t_resnet``      <- diffusers/models/resnet.py ResnetBlock2D.forward
+                       (norm1->silu->conv1 -> +time_emb_proj(silu(temb)) ->
+                        norm2->silu->conv2 -> +shortcut)
+* ``t_attnblock``   <- diffusers/models/attention.py AttentionBlock.forward
+                       (<=0.16 era: query/key/value/proj_attn keys, single
+                        head here as in the SD VAE config) and its >=0.17
+                        rename to Attention (to_q/to_k/to_v/to_out.0) —
+                        both key eras covered by test_vae_attn_new_key_style
+* ``t_transformer`` <- diffusers/models/attention.py Transformer2DModel +
+                       BasicTransformerBlock.forward (norm->proj_in ->
+                        self-attn(ln1) -> cross-attn(ln2, encoder states) ->
+                        GEGLU ff(ln3): proj->chunk->a*gelu(gate)->out ->
+                        proj_out + residual); GEGLU uses EXACT erf gelu
+                       (diffusers/models/attention.py GEGLU.forward -> F.gelu)
+* ``torch_unet``    <- diffusers/models/unet_2d_condition.py
+                       UNet2DConditionModel.forward (conv_in -> down blocks
+                        w/ per-layer skips + downsampler skip -> mid
+                        res/attn/res -> up blocks popping skips ->
+                        norm_out/silu/conv_out; Timesteps embedding with
+                        flip_sin_to_cos=True, downscale_freq_shift=0)
+* ``torch_vae_*``   <- diffusers/models/vae.py Encoder/Decoder.forward +
+                       autoencoder_kl.py AutoencoderKL.encode/decode
+                       (asymmetric (0,1),(0,1) pad before stride-2
+                        downsample: diffusers/models/resnet.py
+                        Downsample2D.forward with use_conv, padding=0)
+
+A wiring mistake made identically in BOTH the converter and this oracle
+would still pass — that residual risk is flagged in docs/PARITY.md and is
+retired the first time real diffusers weights are loaded (the torch-parity
+SDS/PNDM tests then pin gradients/trajectories against torch autograd
+end-to-end, tests/test_sds_torch_parity.py / tests/test_pndm.py).
 """
 
 import math
