@@ -77,6 +77,7 @@ class GuidanceModules:
     vae_encode: Callable
     text_encode: Callable
     latent_scale: int = 8  # image->latent downsampling factor
+    latent_channels: int = 4
     image_size: int = 512
     vae_decode: Callable | None = None  # latents -> images (txt2img)
     tokenizer: object | None = None
@@ -176,11 +177,23 @@ class SDSGuidance:
 
     # -- txt2img sampling (capability parity) --------------------------------
     def _cfg_eps(self, latents, t, text_embeddings, guidance_scale):
-        lat2 = jnp.concatenate([latents] * 2, axis=0)
-        t2 = jnp.full((lat2.shape[0],), int(t), jnp.int32)
-        eps = self.m.unet(lat2, t2, text_embeddings)
-        eps_u, eps_c = jnp.split(eps, 2, axis=0)
-        return eps_u + guidance_scale * (eps_c - eps_u)
+        # one jitted executable reused across all sampler steps (t and the
+        # guidance scale are traced operands) — the sampling loop otherwise
+        # dispatches the UNet op-by-op, which this environment's ~30 ms/call
+        # execution relay turns into minutes
+        if not hasattr(self, "_cfg_eps_jit"):
+            def fn(latents, t, emb, gs):
+                lat2 = jnp.concatenate([latents] * 2, axis=0)
+                t2 = jnp.full((lat2.shape[0],), t, jnp.int32)
+                eps = self.m.unet(lat2, t2, emb)
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                return eps_u + gs * (eps_c - eps_u)
+
+            self._cfg_eps_jit = jax.jit(fn)
+        return self._cfg_eps_jit(
+            latents, jnp.int32(int(t)), text_embeddings,
+            jnp.float32(guidance_scale),
+        )
 
     def produce_latents(
         self,
@@ -191,7 +204,7 @@ class SDSGuidance:
         num_inference_steps: int = 50,
         guidance_scale: float = 7.5,
         latents: jnp.ndarray | None = None,
-        latent_channels: int = 4,
+        latent_channels: int | None = None,
         scheduler: str = "pndm",
     ) -> jnp.ndarray:
         """Deterministic txt2img sampling (reference: models/diffusion.py:266-290).
@@ -205,6 +218,8 @@ class SDSGuidance:
         eta=0 DDIM update over the same alphas."""
         f = self.m.latent_scale
         B = text_embeddings.shape[0] // 2
+        if latent_channels is None:
+            latent_channels = self.m.latent_channels
         if latents is None:
             latents = jax.random.normal(
                 key, (B, latent_channels, height // f, width // f)

@@ -788,6 +788,38 @@ class FastRenderConfig:
     normal_mode: str = "fd4"
 
 
+def count_fast_samples(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    cfg: FastRenderConfig,
+    density_grid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Number of grid-occupied samples the fast path would evaluate for this
+    ray batch — the probe+selection stage only, no field evals. Used to
+    derive ``cfg.sample_budget`` from the actual scene/grid instead of a
+    hand-measured constant (bench.py)."""
+    from avatarcraft_tpu.ops.occupancy import (
+        occupancy_lookup,
+        select_occupied_samples,
+    )
+
+    near, far = near_far_from_bound(rays_o, rays_d, cfg.bound, kind="cube")
+    t = jnp.linspace(0.0, 1.0, cfg.n_probes, dtype=rays_o.dtype)
+    z_probe = near + (far - near) * t[None, :]
+    p_probe = rays_o[:, None, :] + rays_d[:, None, :] * z_probe[..., None]
+    thresh = jnp.minimum(cfg.occ_threshold, jnp.mean(density_grid))
+    if cfg.probe_pool > 1:
+        from avatarcraft_tpu.ops.occupancy import pool_grid
+
+        occ = occupancy_lookup(
+            pool_grid(density_grid, cfg.probe_pool), p_probe, cfg.bound
+        )
+    else:
+        occ = occupancy_lookup(density_grid, p_probe, cfg.bound)
+    _, valid = select_occupied_samples(z_probe, occ, cfg.k_samples, thresh)
+    return valid.sum()
+
+
 def render_rays_fast(
     params: dict,
     rays_o: jnp.ndarray,

@@ -153,7 +153,11 @@ def make_toy_modules(params: dict, cfg: ToyGuidanceConfig) -> GuidanceModules:
         vae_encode=lambda im: im * 2.0 - 1.0,
         text_encode=text_encode,
         latent_scale=1,
+        latent_channels=3,
         image_size=cfg.image_size,
+        # pixel-space "decoder": unscale [-1,1] -> [0,1] (prompt_to_img /
+        # txt2img sample grids work against the toy guidance too)
+        vae_decode=lambda lat: jnp.clip((lat + 1.0) / 2.0, 0.0, 1.0),
         configs={"toy": cfg},
     )
 
@@ -274,6 +278,12 @@ def load_toy_guidance(path: str):
     cfg = ToyGuidanceConfig(**{
         k: tuple(v) if isinstance(v, list) else v for k, v in d.items()
     })
-    like = {"params": jax.device_get(init_toy_params(jax.random.PRNGKey(0), cfg))}
+    # build the like-tree on the LOCAL CPU: the eager per-leaf random inits
+    # otherwise dispatch one-by-one through the TPU execution relay
+    # (~30 ms/call floor -> minutes for the UNet's hundreds of leaves)
+    with jax.default_device(jax.devices("cpu")[0]):
+        like = {
+            "params": jax.device_get(init_toy_params(jax.random.PRNGKey(0), cfg))
+        }
     state = load_checkpoint(os.path.join(path, "params"), like)
     return state["params"], cfg

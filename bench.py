@@ -114,10 +114,26 @@ def main(path: str = "fast"):
 
             params, fcfg = load_params_with_config(ARTIFACT_CKPT)
             grid = jnp.asarray(np.load(ARTIFACT_GRID))
-            # adaptive K on the real trained grid: budget sized so orbit
-            # frames never clip (measured worst case over the full 360 orbit:
-            # 242k valid samples; benchmarks/bench_fast_configs.py sweep)
-            budget = H * W * 5
+            # adaptive K on the real trained grid: budget derived from the
+            # scene itself — max probe-selected sample count over a coarse
+            # sweep of the orbit, +15% safety, so a different scene/grid
+            # re-tunes automatically (was: hand-measured 242k worst case)
+            from avatarcraft_tpu.models.instant_nsr import count_fast_samples
+
+            probe_cfg = FastRenderConfig(
+                n_probes=192, k_samples=32, bound=NSR_BOUND, probe_pool=2
+            )
+            counter = jax.jit(
+                lambda ro, rd, g: count_fast_samples(ro, rd, probe_cfg, g)
+            )
+            worst = max(
+                int(counter(*pose2rays(H, W, pose_spherical(a, e, CANONICAL_CAMERA_DIST_VAL)), grid))
+                for a in range(0, 360, 30) for e in (0.0, -10.0)
+            )
+            budget = int(worst * 1.15)
+            print(f"[bench] derived sample budget: {budget} "
+                  f"(worst probe count {worst} over 24 orbit views)",
+                  file=sys.stderr)
             # normal mode rides with the artifact: the color net is trained
             # against a specific normal estimator, so the bake records which
             # one is quality-equivalent (PROVENANCE.json); fd4 otherwise

@@ -299,3 +299,27 @@ def test_probe_pool_render_close_to_fine():
     np.testing.assert_allclose(
         np.asarray(out1["weight_sum"]), np.asarray(out0["weight_sum"]), atol=0.05
     )
+
+
+def test_count_fast_samples_bounds():
+    """Budget-derivation counter: saturated grid counts N*K, empty grid 0."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from avatarcraft_tpu.models.instant_nsr import (
+        FastRenderConfig,
+        count_fast_samples,
+    )
+
+    cfg = FastRenderConfig(n_probes=32, k_samples=8, bound=1.6)
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(16, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ro = jnp.asarray(np.tile([[0.0, 0.0, -2.0]], (16, 1)).astype(np.float32))
+    rd = jnp.asarray(d)
+
+    full = jnp.full((17, 17, 17), 100.0, jnp.float32)
+    assert int(count_fast_samples(ro, rd, cfg, full)) == 16 * 8
+    empty = jnp.zeros((17, 17, 17), jnp.float32)
+    assert int(count_fast_samples(ro, rd, cfg, empty)) == 0
