@@ -186,12 +186,27 @@ def main(argv=None):
     exp_dir = os.path.join(opt.out_dir, opt.exp_name)
     os.makedirs(exp_dir, exist_ok=True)
 
-    rcfg_val = RenderConfig(num_steps=64, upsample_steps=64, bound=NSR_BOUND)
-    val_render = jax.jit(
-        lambda p, ro, rd: render_rays_chunked(
-            p, ro, rd, jax.random.PRNGKey(0), fcfg, rcfg_val, 1.0, chunk=opt.batch_size
-        )["rgb"]
-    )
+    if opt.sampler == "fast":
+        # validation rides the fast sampler against the trainer's live grid:
+        # the 64+64 parity render would cost ~1 min/frame plus a multi-minute
+        # remote compile just for logging
+        from avatarcraft_tpu.models.instant_nsr import render_rays_fast
+
+        _val_fast = jax.jit(
+            lambda p, ro, rd, g: render_rays_fast(
+                p, ro, rd, fcfg, trainer.fast_cfg, g, 1.0
+            )["rgb"]
+        )
+
+        def val_render(p, ro, rd):
+            return _val_fast(p, ro, rd, trainer.grid)
+    else:
+        rcfg_val = RenderConfig(num_steps=64, upsample_steps=64, bound=NSR_BOUND)
+        val_render = jax.jit(
+            lambda p, ro, rd: render_rays_chunked(
+                p, ro, rd, jax.random.PRNGKey(0), fcfg, rcfg_val, 1.0, chunk=opt.batch_size
+            )["rgb"]
+        )
 
     def log_img(step, params):
         poses, _ = default_360_path(
@@ -204,7 +219,14 @@ def main(argv=None):
         imageio.imwrite(path, img)
         print(f"image saved: {path}")
 
+    import time as _time
+
+    _t0 = _time.time()
+
     def on_step(step, params):
+        if (step + 1) % 20 == 0:
+            rate = (step + 1) / (_time.time() - _t0)
+            print(f"[stylize] step {step + 1} ({rate:.2f} steps/s)", flush=True)
         if (step + 1) % opt.i_val == 0:
             log_img(step, params)
         if (step + 1) % opt.i_save == 0:

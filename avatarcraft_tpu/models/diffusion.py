@@ -107,6 +107,39 @@ class SDSGuidance:
         return jnp.concatenate([uncond, cond], axis=0)
 
     # -- SDS ----------------------------------------------------------------
+    def sds_image_grad_jit(
+        self,
+        key: jax.Array,
+        text_embeddings: jnp.ndarray,
+        pred_rgb: jnp.ndarray,
+        guidance_scale: float = 100.0,
+        pred_depth: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """Jitted sds_image_grad (one executable per image shape).
+
+        The training loop calls this every step; the eager path dispatches
+        the UNet op-by-op, which this environment's ~30 ms/call execution
+        relay turns into seconds per step."""
+        cache_key = (pred_rgb.shape, text_embeddings.shape, pred_depth is None)
+        if not hasattr(self, "_sds_jit"):
+            self._sds_jit = {}
+        if cache_key not in self._sds_jit:
+            if pred_depth is None:
+                self._sds_jit[cache_key] = jax.jit(
+                    lambda k, emb, rgb, gs: self.sds_image_grad(k, emb, rgb, gs)
+                )
+            else:
+                self._sds_jit[cache_key] = jax.jit(
+                    lambda k, emb, rgb, gs, d: self.sds_image_grad(
+                        k, emb, rgb, gs, pred_depth=d
+                    )
+                )
+        fn = self._sds_jit[cache_key]
+        gs = jnp.float32(guidance_scale)
+        if pred_depth is None:
+            return fn(key, text_embeddings, pred_rgb, gs)
+        return fn(key, text_embeddings, pred_rgb, gs, pred_depth)
+
     def sds_image_grad(
         self,
         key: jax.Array,

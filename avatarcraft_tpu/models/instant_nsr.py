@@ -200,17 +200,29 @@ def encode_position(
 ) -> jnp.ndarray:
     """Spatial encoding through the configured encoder."""
     if cfg.encoder == "hashgrid":
-        return hash_encode(params["table"], x, cfg.grid, size=bound)
+        cells = packed.get("dense_cells") if isinstance(packed, dict) else None
+        return hash_encode(
+            params["table"], x, cfg.grid, size=bound, packed_cells=cells
+        )
     if packed is None:
         packed = materialize_field_tables(params, cfg)
     return pyramid_encode(packed, x, cfg.pyramid, size=bound)
 
 
 def materialize_field_tables(params: dict, cfg: FieldConfig) -> dict | None:
-    """Build per-step packed lookup tables (pyramid encoder only). Call once
-    per render/train step and pass down via FieldFns; a no-op for hashgrid."""
+    """Build per-step packed lookup tables. Call once per render/train step
+    and pass down via FieldFns.
+
+    * pyramid encoder: the cell-packed grid/plane tables (bf16 by default);
+    * hashgrid: cell-packed tables for the DENSE levels (one gather instead
+      of 8 per point per level, ops.hash_encoder.pack_dense_cells); the
+      build touches each dense cell once (~360k rows at the default spec) —
+      negligible against the ~131k gathers PER RAY of the 64+64 fd7
+      pipeline it accelerates."""
     if cfg.encoder == "hashgrid":
-        return None
+        from avatarcraft_tpu.ops.hash_encoder import pack_dense_cells
+
+        return {"dense_cells": pack_dense_cells(params["table"], cfg.grid)}
     packed = materialize_packed(params, cfg.pyramid)
     dt = jnp.dtype(cfg.packed_dtype)
     return jax.tree_util.tree_map(lambda t: t.astype(dt), packed)

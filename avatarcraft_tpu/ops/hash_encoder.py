@@ -136,6 +136,44 @@ def _corner_indices(spec: HashGridSpec, pos_grid: jax.Array) -> jax.Array:
     return idx.astype(jnp.int32)
 
 
+def pack_dense_cells(table: jax.Array, spec: HashGridSpec) -> dict:
+    """Cell-packed tables for the DENSE (non-hashed) levels.
+
+    For a dense level, the 8 corner rows of every interpolation cell are
+    known addresses, so they can be pre-gathered into one wide row
+    ``P[cell] = concat(T[corner_0] ... T[corner_7])`` (8*C floats — well
+    under the 128-byte row width that gathers fetch for free on TPU,
+    docs/PERFORMANCE.md). The encoder then needs ONE gather per (point,
+    dense level) instead of 8. Hashed levels cannot be packed: their cells
+    are virtual and the XOR hash (reference:
+    encoder/hashencoder/src/hashencoder.cu:36-51) scatters a cell's corners
+    with data-dependent strides.
+
+    Returns {level: packed [n_cells, 8*C]}; build once per table update
+    (rendering: once per loaded checkpoint).
+    """
+    scales, resolutions, offsets, sizes, use_hash = spec.level_constants
+    C = spec.level_dim
+    packed = {}
+    for lvl in range(spec.num_levels):
+        if use_hash[lvl]:
+            continue
+        R = resolutions[lvl]  # cells per axis (max corner index = R)
+        r1 = R + 1
+        tbl = jax.lax.slice_in_dim(table, offsets[lvl], offsets[lvl + 1])
+        bx, by, bz = jnp.meshgrid(
+            jnp.arange(R), jnp.arange(R), jnp.arange(R), indexing="ij"
+        )
+        base = (bx + by * r1 + bz * r1 * r1).reshape(-1)  # [R^3]
+        corners = []
+        for corner in range(8):
+            dx, dy, dz = corner & 1, (corner >> 1) & 1, (corner >> 2) & 1
+            idx = base + dx + dy * r1 + dz * r1 * r1
+            corners.append(jnp.take(tbl, idx, axis=0))  # [R^3, C]
+        packed[lvl] = jnp.concatenate(corners, axis=1)  # [R^3, 8C]
+    return packed
+
+
 def hash_encode(
     table: jax.Array,
     x: jax.Array,
@@ -143,6 +181,7 @@ def hash_encode(
     *,
     size: float = 1.0,
     layout: str = "leveled",
+    packed_cells: dict | None = None,
 ) -> jax.Array:
     """Encode positions through the multiresolution hash grid.
 
@@ -182,6 +221,28 @@ def hash_encode(
             pos_floor = jnp.floor(pos)
             frac = pos - pos_floor
             base = pos_floor.astype(jnp.uint32)
+            if packed_cells is not None and lvl in packed_cells:
+                # dense level with a cell-packed table: ONE row gather
+                # fetches all 8 corners (pack_dense_cells); weights applied
+                # per packed slice so the gather fuses into the reduction
+                R = jnp.uint32(resolutions[lvl])
+                cell = (base[:, 0] * R * R + base[:, 1] * R + base[:, 2]).astype(
+                    jnp.int32
+                )
+                rows = jnp.take(packed_cells[lvl], cell, axis=0)  # [N, 8C]
+                lvl_out = jnp.zeros((N, C), table.dtype)
+                for corner in range(8):
+                    bits = jnp.asarray(
+                        [(corner >> d) & 1 for d in range(3)], jnp.uint32
+                    )
+                    w = jnp.prod(
+                        jnp.where(bits[None, :] == 1, frac, 1.0 - frac), axis=-1
+                    )
+                    lvl_out = lvl_out + w[:, None].astype(table.dtype) * rows[
+                        :, corner * C : (corner + 1) * C
+                    ]
+                level_outs.append(lvl_out)
+                continue
             tbl = jax.lax.slice_in_dim(table, offsets[lvl], offsets[lvl + 1])
             # One narrow gather PER CORNER, accumulated immediately: the
             # gather output ([N, C], C as small as 2) then fuses into the

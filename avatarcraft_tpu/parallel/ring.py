@@ -134,6 +134,28 @@ def ring_all_gather(
     return out.reshape(n * S, F)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def ring_all_gather_grad(x: jnp.ndarray, axis_name: str, use_pallas: bool = True):
+    """Differentiable all-gather: Pallas ring forward (pallas_call has no
+    autodiff rule), reduce-scatter backward (the VJP of all-gather — each
+    shard's cotangent is the psum of that block over the axis). Training
+    with a row-sharded table runs through this."""
+    if use_pallas:
+        return ring_all_gather(x, axis_name)
+    return jax.lax.all_gather(x, axis_name, axis=0).reshape(-1, x.shape[-1])
+
+
+def _ring_ag_fwd(x, axis_name, use_pallas):
+    return ring_all_gather_grad(x, axis_name, use_pallas), None
+
+
+def _ring_ag_bwd(axis_name, use_pallas, _, ct):
+    return (jax.lax.psum_scatter(ct, axis_name, scatter_dimension=0, tiled=True),)
+
+
+ring_all_gather_grad.defvjp(_ring_ag_fwd, _ring_ag_bwd)
+
+
 def all_gather_table(
     table: jnp.ndarray, mesh: Mesh, *, use_pallas: bool | None = None
 ) -> jnp.ndarray:
@@ -148,13 +170,8 @@ def all_gather_table(
     if use_pallas is None:
         use_pallas = n > 1 and mesh.devices.flatten()[0].platform == "tpu"
 
-    def gather(shard):
-        if use_pallas:
-            return ring_all_gather(shard, axis)
-        return jax.lax.all_gather(shard, axis, axis=0).reshape(-1, shard.shape[-1])
-
     return jax.shard_map(
-        gather,
+        lambda shard: ring_all_gather_grad(shard, axis, use_pallas),
         mesh=mesh,
         in_specs=P(axis, None),
         out_specs=P(),

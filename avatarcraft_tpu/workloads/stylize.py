@@ -376,7 +376,7 @@ class StylizeTrainer:
         pred_depth = (
             depth_full.reshape(1, 1, th, tw) if self.guidance.m.use_depth else None
         )
-        g_img = self.guidance.sds_image_grad(
+        g_img = self.guidance.sds_image_grad_jit(
             self._next_key(), text_emb, img, c.guidance_scale, pred_depth=pred_depth
         )
         g_rgb = g_img.transpose(0, 2, 3, 1).reshape(-1, 3)

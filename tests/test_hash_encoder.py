@@ -157,3 +157,46 @@ def test_jit_and_vmap_compose(small_spec):
     jitted = jax.jit(lambda t, xx: hash_encode(t, xx, small_spec))(table, x)
     # jit fuses the multiply-add chain differently; allow a few ulps
     np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted), rtol=1e-5, atol=1e-9)
+
+
+def test_dense_cell_packing_exact():
+    """Cell-packed dense levels produce bit-identical features to the
+    per-corner gather path (pack_dense_cells + hash_encode packed_cells)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from avatarcraft_tpu.ops.hash_encoder import (
+        HashGridSpec,
+        hash_encode,
+        init_hash_table,
+        pack_dense_cells,
+    )
+
+    spec = HashGridSpec(
+        num_levels=6, base_resolution=4, log2_hashmap_size=8,
+        desired_resolution=64,
+    )
+    table = init_hash_table(jax.random.PRNGKey(0), spec)
+    packed = pack_dense_cells(table, spec)
+    assert packed, "expected at least one dense level at this spec"
+    _, _, _, _, use_hash = spec.level_constants
+    assert set(packed) == {l for l in range(6) if not use_hash[l]}
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(-1.1, 1.1, (513, 3)).astype(np.float32))
+    ref = hash_encode(table, x, spec, size=1.0)
+    out = hash_encode(table, x, spec, size=1.0, packed_cells=packed)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-7)
+
+    # gradients w.r.t. the table agree too (training path)
+    def loss_packed(t):
+        p = pack_dense_cells(t, spec)
+        return (hash_encode(t, x, spec, packed_cells=p) ** 2).sum()
+
+    def loss_plain(t):
+        return (hash_encode(t, x, spec) ** 2).sum()
+
+    g1 = jax.grad(loss_packed)(table)
+    g2 = jax.grad(loss_plain)(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)

@@ -92,3 +92,30 @@ def test_pallas_ring_kernel_two_devices():
         gather, mesh=mesh, in_specs=P("data", None), out_specs=P(), check_vma=False
     )(table)
     np.testing.assert_allclose(np.asarray(got), np.asarray(table), atol=1e-6)
+
+
+def test_ring_all_gather_grad_matches_dense():
+    """ring_all_gather_grad: the reduce-scatter VJP reproduces the dense
+    gradient of an embedding-lookup loss over a row-sharded table (XLA
+    collective path on the CPU mesh; the Pallas forward is pinned by the
+    interpret-mode tests above and tools/ring_mosaic_check.py on TPU)."""
+    from jax.sharding import PartitionSpec as P
+
+    from avatarcraft_tpu.parallel.ring import all_gather_table
+
+    mesh = make_mesh(8)
+    T, F = 64, 8
+    table = jax.random.normal(jax.random.PRNGKey(0), (T, F))
+    idx = jnp.asarray(np.random.default_rng(1).integers(0, T, 32))
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (32, F))
+
+    def loss_sharded(tbl):
+        full = all_gather_table(tbl, mesh, use_pallas=False)
+        return jnp.mean((full[idx] - tgt) ** 2)
+
+    def loss_plain(tbl):
+        return jnp.mean((tbl[idx] - tgt) ** 2)
+
+    g1 = jax.grad(loss_sharded)(table)
+    g2 = jax.grad(loss_plain)(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
