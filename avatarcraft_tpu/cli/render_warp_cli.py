@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--sampler", default="parity", choices=["parity", "fast"],
                         help="fast = per-frame voxelized posed-space occupancy "
                              "+ compacted kNN warp (TPU flagship)")
+    parser.add_argument("--rest_pose", default=None, choices=["da", "zero"],
+                        help="pose the canonical field was trained in. "
+                             "Default: 'da' (reference parity) for SMPL "
+                             "bodies, 'zero' for mesh-derived demo bodies "
+                             "(their template IS the da-posed surface)")
     return parser
 
 
@@ -76,6 +81,9 @@ def main(argv=None):
         model = synthetic_smpl_params(0, n_verts=512, n_joints=24)
     else:
         model = load_smpl(opt.smpl_path)
+    rest = opt.rest_pose or (
+        "zero" if opt.smpl_path.endswith(".npz") else "da"
+    )
     world_verts, Ts, n_frames = calc_local_trans(
         model,
         render_type=opt.render_type,
@@ -83,6 +91,7 @@ def main(argv=None):
         shape_from=shape_from,
         shape_to=shape_to,
         max_frames=opt.max_frames,
+        rest_pose=rest,
     )
 
     params, fcfg = load_params_with_config(opt.weights_path)

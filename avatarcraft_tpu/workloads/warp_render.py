@@ -48,13 +48,24 @@ def calc_local_trans(
     n_interp: int = 10,
     max_frames: int = 100,
     scale: float = 1.0,
+    rest_pose: str = "da",
 ):
     """Per-frame (world_verts [V,3], Ts [V+J,4,4]) for animation or shape
-    interpolation (reference: render_warp.py:127-222)."""
+    interpolation (reference: render_warp.py:127-222).
+
+    ``rest_pose``: the pose the canonical FIELD was trained in. "da" = the
+    NeuMan da-pose (reference parity: the canonical SMPL field is da-posed,
+    render_warp.py:163-168). "zero" = identity — for mesh-derived demo
+    bodies (tools/make_demo_body.py) whose template IS the already-da-posed
+    avatar surface, so their rest transform must be the identity and
+    animation poses are deltas about it."""
     n_betas = model.shapedirs.shape[-1]
     zero_shape = np.zeros((1, n_betas), np.float32)
     n_pose = model.n_joints * 3
-    da = da_pose(n_pose)
+    da = (
+        da_pose(n_pose) if rest_pose == "da"
+        else np.zeros((1, n_pose), np.float32)
+    )
 
     if shape_from is None:
         shape_from = np.zeros((1, n_betas), np.float32)

@@ -39,7 +39,13 @@ def main(argv=None):
     ap.add_argument("--out", default="artifacts/canonical/demo_body.npz")
     ap.add_argument("--resolution", default=128, type=int)
     ap.add_argument("--n_betas", default=10, type=int)
-    ap.add_argument("--n_joints", default=4, type=int)
+    ap.add_argument("--n_joints", default=4, type=int,
+                    help="--rig root only; the articulated rig is 7 joints")
+    ap.add_argument("--rig", default="root", choices=["root", "articulated"],
+                    help="root = rigid (interp_shape morphs); articulated = "
+                         "7-joint body rig segmented from the da-pose "
+                         "geometry (head/arms/legs animate; render_warp "
+                         "--render_type animate demos)")
     ap.add_argument("--platform", default="cpu", choices=["cpu", "default"])
     opt = ap.parse_args(argv)
 
@@ -62,25 +68,83 @@ def main(argv=None):
 
     v_template = verts / SMPL_SCALE
     center = v_template.mean(axis=0, keepdims=True)
-    V, J, B = len(v_template), opt.n_joints, opt.n_betas
+    V, B = len(v_template), opt.n_betas
 
     shapedirs = np.zeros((V, 3, B), np.float32)
     shapedirs[:, 1, 0] = (v_template[:, 1] - center[0, 1]) * 0.05  # stretch
     shapedirs[:, :, 1] = (v_template - center) * 0.05  # radial scale
+
+    if opt.rig == "articulated":
+        # 7-joint rig segmented from the da-pose silhouette: root(pelvis),
+        # spine, head, L/R arm, L/R leg. Smooth region weights (sigmoid
+        # falloffs) keep the LBS deformation continuous where limbs meet the
+        # torso; joints regress from vertices near hand-placed anchor points.
+        x, y = v_template[:, 0], v_template[:, 1]
+        y0, y1 = float(y.min()), float(y.max())
+        H = y1 - y0
+        y_pelvis = y0 + 0.42 * H
+        y_neck = y0 + 0.80 * H
+        x_sh = 0.16 * float(np.abs(x).max())
+
+        def smooth(t):
+            return 1.0 / (1.0 + np.exp(-t))
+
+        w_head = smooth((y - y_neck) / (0.04 * H))
+        upper = smooth((y - y_pelvis) / (0.04 * H))
+        w_larm = smooth((x - x_sh) / (0.03)) * upper * (1 - w_head)
+        w_rarm = smooth((-x - x_sh) / (0.03)) * upper * (1 - w_head)
+        lower = 1.0 - upper
+        side = smooth(x / 0.02)
+        w_lleg = lower * side
+        w_rleg = lower * (1 - side)
+        w_spine = smooth((y - (y0 + 0.62 * H)) / (0.06 * H)) * (
+            1 - w_head
+        ) * (1 - np.clip(w_larm + w_rarm, 0, 1))
+        w = np.stack(
+            [np.zeros(V), w_spine, w_head, w_larm, w_rarm, w_lleg, w_rleg], 1
+        ).astype(np.float32)
+        w = np.clip(w, 0.0, 1.0)
+        w[:, 0] = np.clip(1.0 - w[:, 1:].sum(1), 0.0, None)  # root remainder
+        w /= w.sum(1, keepdims=True)
+
+        anchors = np.array(
+            [
+                [0.0, y_pelvis, 0.0],                     # root
+                [0.0, y0 + 0.62 * H, 0.0],                # spine/chest
+                [0.0, y_neck, 0.0],                       # head (neck pivot)
+                [x_sh, y0 + 0.72 * H, 0.0],               # L shoulder
+                [-x_sh, y0 + 0.72 * H, 0.0],              # R shoulder
+                [0.10 * H, y_pelvis, 0.0],                # L hip
+                [-0.10 * H, y_pelvis, 0.0],               # R hip
+            ],
+            np.float32,
+        )
+        J = len(anchors)
+        d2 = ((v_template[None] - anchors[:, None]) ** 2).sum(-1)  # [J, V]
+        reg = np.exp(-d2 / (0.02 * H) ** 2)
+        J_regressor = (reg / reg.sum(1, keepdims=True)).astype(np.float32)
+        parents = np.array([-1, 0, 1, 1, 1, 0, 0], np.int32)
+        lbs_weights = w
+    else:
+        J = opt.n_joints
+        J_regressor = np.full((J, V), 1.0 / V, np.float32)
+        parents = np.arange(-1, J - 1, dtype=np.int32)
+        lbs_weights = np.concatenate(
+            [np.ones((V, 1), np.float32), np.zeros((V, J - 1), np.float32)], axis=1
+        )
 
     np.savez_compressed(
         opt.out,
         v_template=v_template,
         shapedirs=shapedirs,
         posedirs=np.zeros(((J - 1) * 9, V * 3), np.float32),
-        J_regressor=np.full((J, V), 1.0 / V, np.float32),
-        parents=np.arange(-1, J - 1, dtype=np.int32),
-        lbs_weights=np.concatenate(
-            [np.ones((V, 1), np.float32), np.zeros((V, J - 1), np.float32)], axis=1
-        ),
+        J_regressor=J_regressor,
+        parents=parents,
+        lbs_weights=lbs_weights,
         faces=faces,
     )
-    print(f"saved {opt.out} ({os.path.getsize(opt.out) / 2**20:.1f} MB)")
+    print(f"saved {opt.out} (rig={opt.rig}, J={J}, "
+          f"{os.path.getsize(opt.out) / 2**20:.1f} MB)")
 
 
 if __name__ == "__main__":
