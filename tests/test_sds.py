@@ -164,3 +164,25 @@ def test_stylize_fast_sampler_smoke():
     assert moved, "fast-sampler SDS step did not update the style field"
     flat = jax.tree_util.tree_leaves(after)
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+
+
+def test_sds_image_grad_jit_matches_eager():
+    """The shape-cached jitted wrapper is numerically the eager path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from avatarcraft_tpu.models.diffusion import SDSGuidance, make_dummy_modules
+
+    g = SDSGuidance(make_dummy_modules(image_size=32))
+    emb = g.get_text_embeds(["x"])
+    img = jnp.clip(jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 24, 24)), 0, 1)
+    key = jax.random.PRNGKey(7)
+    eager = np.asarray(g.sds_image_grad(key, emb, img, 50.0))
+    jitted = np.asarray(g.sds_image_grad_jit(key, emb, img, 50.0))
+    np.testing.assert_allclose(jitted, eager, atol=1e-6)
+    # cache reuse with a second shape
+    img2 = jnp.clip(jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 16, 16)), 0, 1)
+    out2 = np.asarray(g.sds_image_grad_jit(key, emb, img2, 50.0))
+    assert out2.shape == (1, 3, 16, 16) and np.isfinite(out2).all()
+    assert len(g._sds_jit) == 2
