@@ -194,3 +194,52 @@ def test_voxelize_verts_marks_and_dilates():
     assert g[c + 1, c, c] > 10  # dilated neighbor
     assert g[c + 3, c, c] == 0  # beyond dilation
     assert (g > 10).sum() == 2 * 27  # two vertices, 3^3 each
+
+
+def test_animate_zero_rest_pose_identity_and_golden():
+    """Animate with rest_pose='zero' (mesh-derived demo bodies whose template
+    IS the da-posed surface): the zero-delta frame is the identity, and a
+    mid-wave frame of tools/make_demo_poseseq.make_wave_sequence is pinned
+    (golden) through the full calc_local_trans composition."""
+    import sys as _sys
+
+    _sys.path.insert(0, ".")
+    from tools.make_demo_poseseq import make_wave_sequence
+
+    from avatarcraft_tpu.models.smpl import SMPLParams
+
+    rng = np.random.default_rng(3)
+    V, J, B = 60, 7, 4
+    v = rng.uniform(-0.4, 0.4, (V, 3)).astype(np.float32)
+    v[:, 1] = np.linspace(-0.8, 0.8, V)
+    w = rng.dirichlet(np.ones(J) * 0.5, V).astype(np.float32)
+    reg = rng.dirichlet(np.ones(V) * 0.5, J).astype(np.float32)
+    model = SMPLParams(
+        v_template=v,
+        shapedirs=np.zeros((V, 3, B), np.float32),
+        posedirs=np.zeros(((J - 1) * 9, V * 3), np.float32),
+        J_regressor=reg,
+        parents=np.array([-1, 0, 1, 1, 1, 0, 0], np.int32),
+        lbs_weights=w,
+        faces=np.stack(
+            [np.arange(V - 2), np.arange(1, V - 1), np.arange(2, V)], 1
+        ).astype(np.int32),
+    )
+    poses = make_wave_sequence(12)
+    wv, Ts, n = calc_local_trans(
+        model, render_type="animate", poses=poses, max_frames=12,
+        rest_pose="zero",
+    )
+    assert n == 12
+    # frame 0 has zero pose deltas -> the warp chain is the identity
+    np.testing.assert_allclose(wv[0], v, atol=1e-6)
+    # mid-wave golden frame
+    np.testing.assert_allclose(
+        wv[7][0], [-0.406849, -0.766187, 0.191712], atol=2e-5
+    )
+    np.testing.assert_allclose(
+        wv[7][30], [0.147257, -0.002716, 0.082188], atol=2e-5
+    )
+    np.testing.assert_allclose(
+        Ts[7][5, 0], [1.095582, 0.095794, -0.083089, 0.011829], atol=2e-5
+    )
