@@ -85,6 +85,34 @@ def make_batch_ray_fn(K: np.ndarray, H: int, W: int):
     return ray_fn
 
 
+def make_batch_ray_fn_ss(K: np.ndarray, H: int, W: int, ss: int):
+    """Supersampled variant: ss^2 sub-rays per pixel covering its footprint
+    with a regular box pattern (the render side of the antialiasing protocol,
+    tools/eval_psnr.py). Returns rays [B*ss^2, 3], sub-ray-major per pixel,
+    so a reshape(B, ss^2, 3).mean(1) of the rendered colors is the pixel's
+    box-filtered coverage — matching the dataset's antialiased GT edges."""
+    fx, fy, cx, cy = float(K[0, 0]), float(K[1, 1]), float(K[0, 2]), float(K[1, 2])
+    # sub-pixel offsets in pixel units, centered on the pixel
+    off = (np.arange(ss) + 0.5) / ss - 0.5
+    ox, oy = np.meshgrid(off, off, indexing="xy")
+    ox = jnp.asarray(ox.reshape(-1).astype(np.float32))  # [ss^2]
+    oy = jnp.asarray(oy.reshape(-1).astype(np.float32))
+
+    def ray_fn(poses, view_idx, pix_idx):
+        pose = poses[view_idx]  # [B,4,4]
+        y = (pix_idx // W).astype(jnp.float32)[:, None] + oy[None]  # [B,ss^2]
+        x = (pix_idx % W).astype(jnp.float32)[:, None] + ox[None]
+        p = jnp.stack(
+            [(x - cx) / fx, -(y - cy) / fy, -jnp.ones_like(x)], axis=-1
+        )  # [B, ss^2, 3]
+        v = p / jnp.linalg.norm(p, axis=-1, keepdims=True)
+        rays_d = jnp.einsum("bij,bsj->bsi", pose[:, :3, :3], v)
+        rays_o = jnp.broadcast_to(pose[:, None, :3, 3], rays_d.shape)
+        return rays_o.reshape(-1, 3), rays_d.reshape(-1, 3)
+
+    return ray_fn
+
+
 def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """torch F.smooth_l1_loss with beta=1 (== Huber delta=1), mean reduction."""
     d = pred - target
@@ -168,6 +196,7 @@ def make_train_scan_fast(
     eikonal_weight: float,
     bkg_mode: str,
     white_bkg: bool,
+    ss: int = 1,
 ):
     """S train steps per jit call via lax.scan, with ON-DEVICE batch gathers.
 
@@ -201,7 +230,13 @@ def make_train_scan_fast(
 
             def loss_fn(p):
                 out = render_rays_fast(p, rays_o, rays_d, fcfg, fast_cfg, grid, bg)
-                photo = smooth_l1(out["rgb"], gt)
+                rgb = out["rgb"]
+                if ss > 1:
+                    # box-filter the ss^2 sub-rays per pixel: the render
+                    # learns true partial edge coverage against the
+                    # antialiased GT (make_batch_ray_fn_ss ordering)
+                    rgb = rgb.reshape(-1, ss * ss, 3).mean(axis=1)
+                photo = smooth_l1(rgb, gt)
                 return photo + eikonal_weight * out["gradient_error"]
 
             loss, grads = jax.value_and_grad(loss_fn)(params)

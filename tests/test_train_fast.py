@@ -1,9 +1,14 @@
 """Occupancy-guided fast training end-to-end on the tiny synthetic dataset."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-from avatarcraft_tpu.models.instant_nsr import FastRenderConfig, FieldConfig
+from avatarcraft_tpu.models.instant_nsr import (
+    FastRenderConfig,
+    FieldConfig,
+    init_field_params,
+)
 from avatarcraft_tpu.ops.grid_encoder import PyramidSpec
 from avatarcraft_tpu.workloads.reconstruct import ReconstructConfig, train_fast
 from tests.test_reconstruct import tiny_dataset  # noqa: F401  (fixture)
@@ -69,3 +74,59 @@ def test_scan_training_partial_tail(tiny_dataset):  # noqa: F811
         log_every=1,
     )
     assert stats["steps"] == 25
+
+
+def test_ss_ray_fn_and_trainer():
+    """ss=1 sub-ray generator == the plain one; ss=2 scan trainer runs and
+    its box-filtered loss is finite (the native-res edge-coverage fine-tune,
+    tools/finetune_ss.py)."""
+    import optax
+
+    from avatarcraft_tpu.workloads.reconstruct import (
+        make_batch_ray_fn,
+        make_batch_ray_fn_ss,
+        make_train_scan_fast,
+    )
+
+    H = W = 16
+    K = np.array([[20.0, 0, 8.0], [0, 20.0, 8.0], [0, 0, 1]], np.float32)
+    poses = np.stack([np.eye(4, dtype=np.float32)] * 2)
+    poses[:, 2, 3] = 2.0
+    poses_d = jnp.asarray(poses)
+    rng = np.random.default_rng(0)
+    vi = jnp.asarray(rng.integers(0, 2, 8).astype(np.int32))
+    pi = jnp.asarray(rng.integers(0, H * W, 8).astype(np.int32))
+
+    ro1, rd1 = make_batch_ray_fn(K, H, W)(poses_d, vi, pi)
+    ro2, rd2 = make_batch_ray_fn_ss(K, H, W, 1)(poses_d, vi, pi)
+    np.testing.assert_allclose(np.asarray(ro2), np.asarray(ro1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rd2), np.asarray(rd1), atol=1e-6)
+
+    # ss=2: 4 sub-rays per pixel, trainer box-filters before the loss
+    fcfg = FieldConfig(
+        encoder="tpu_pyramid",
+        pyramid=PyramidSpec(
+            grid_resolutions=(4, 8), grid_dim=2, plane_resolutions=(17,),
+            plane_dim=2,
+        ),
+        packed_dtype="float32",
+    )
+    fast_cfg = FastRenderConfig(n_probes=16, k_samples=6, bound=1.6)
+    params = init_field_params(jax.random.PRNGKey(0), fcfg)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    scan_fn = make_train_scan_fast(
+        fcfg, fast_cfg, tx, make_batch_ray_fn_ss(K, H, W, 2), 0.1, "raw",
+        False, ss=2,
+    )
+    S, B = 2, 8
+    images_flat = jnp.asarray(rng.random((2, H * W, 3)).astype(np.float32))
+    masks_flat = jnp.ones((2, H * W), jnp.float32)
+    vis = jnp.asarray(rng.integers(0, 2, (S, B)).astype(np.int32))
+    pis = jnp.asarray(rng.integers(0, H * W, (S, B)).astype(np.int32))
+    grid = jnp.full((17, 17, 17), 100.0, jnp.float32)
+    params, opt_state, losses = scan_fn(
+        params, opt_state, poses_d, images_flat, masks_flat, vis, pis, grid,
+        jax.random.PRNGKey(1),
+    )
+    assert np.isfinite(np.asarray(losses)).all()

@@ -1,0 +1,141 @@
+"""Supersampled-coverage fine-tune: close the native-512 PSNR gap.
+
+The converged artifact measures ~35.8 dB under the 128-square box protocol
+but ~31.5 dB at native 512-square, and the decomposition shows ~92% of the
+native-res MSE in the ~3.5% silhouette band (docs/PERFORMANCE.md): the
+dataset's GT edges are antialiased (partial coverage), while a 1-ray-per-
+pixel render is a point sample. This fine-tune renders ss^2 box sub-rays
+per training pixel and box-filters them BEFORE the photometric loss
+(workloads.reconstruct.make_batch_ray_fn_ss + make_train_scan_fast(ss=..)),
+against the RAW dataset GT on the dataset's own black background — the
+fully consistent protocol — so the field learns true partial edge coverage.
+
+Usage:
+    python tools/finetune_ss.py --state <orbax dir> --out <orbax dir> \
+        [--ss 2] [--steps 3000]
+    python tools/bake_artifact.py --state <out> ... ; tools/eval_psnr.py --level 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--state", required=True, help="orbax train-state dir to start from")
+    ap.add_argument("--out", required=True, help="output orbax state dir")
+    ap.add_argument("--data_path", default="/root/reference/data/smpl_da_512")
+    ap.add_argument("--holdout_views", default="13,62,95")
+    ap.add_argument("--normal_mode", default="fd4")
+    ap.add_argument("--ss", default=2, type=int)
+    ap.add_argument("--steps", default=3000, type=int)
+    ap.add_argument("--scan", default=25, type=int)
+    ap.add_argument("--batch", default=2048, type=int, help="PIXELS per step")
+    ap.add_argument("--lr", default=1e-4, type=float)
+    ap.add_argument("--eikonal", default=0.1, type=float)
+    ap.add_argument("--grid_refresh", default=1000, type=int)
+    ap.add_argument("--encoder", default="tpu_pyramid")
+    opt = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from avatarcraft_tpu.constants import NSR_BOUND
+    from avatarcraft_tpu.data import SMPLMultiviewDataset
+    from avatarcraft_tpu.models.instant_nsr import (
+        FastRenderConfig,
+        FieldConfig,
+        init_field_params,
+    )
+    from avatarcraft_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    from avatarcraft_tpu.workloads.reconstruct import (
+        ReconstructConfig,
+        make_batch_ray_fn_ss,
+        make_grid_update_fn,
+        make_optimizer,
+        make_train_scan_fast,
+    )
+
+    ds = SMPLMultiviewDataset(opt.data_path)
+    fcfg = FieldConfig(encoder=opt.encoder)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params_like = jax.device_get(init_field_params(jax.random.PRNGKey(0), fcfg))
+    tx = make_optimizer(ReconstructConfig(lr=opt.lr, epochs=1), opt.steps)
+    like = {
+        "params": params_like,
+        "opt_state": jax.device_get(tx.init(params_like)),
+        "grid": np.zeros((129,) * 3, np.float32),
+        "step": 0,
+    }
+    state = load_checkpoint(opt.state, like)
+    params, grid = state["params"], jnp.asarray(state["grid"])
+    print(f"loaded step {state['step']} from {opt.state}", file=sys.stderr)
+    opt_state = tx.init(params)
+
+    ss2 = opt.ss * opt.ss
+    fast_cfg = FastRenderConfig(
+        n_probes=128, k_samples=32, bound=NSR_BOUND,
+        normal_mode=opt.normal_mode,
+        sample_budget=opt.batch * ss2 * 8,
+    )
+    ray_fn = make_batch_ray_fn_ss(ds.K, ds.H, ds.W, opt.ss)
+    # raw protocol: render on the dataset's own black background
+    scan_fn = make_train_scan_fast(
+        fcfg, fast_cfg, tx, ray_fn, opt.eikonal, "raw", False, ss=opt.ss
+    )
+    refresh = make_grid_update_fn(fcfg, NSR_BOUND)
+
+    holdout = {int(v) for v in opt.holdout_views.split(",") if v.strip()}
+    train_views = np.asarray(
+        [v for v in range(ds.n_images) if v not in holdout], np.int32
+    )
+    poses = jnp.asarray(ds.poses)
+    images_flat = jnp.asarray(ds.images.reshape(ds.n_images, -1, 3))
+    masks_flat = jnp.asarray(ds.masks.reshape(ds.n_images, -1).astype(np.float32))
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(1)
+    B, S = opt.batch, opt.scan
+    n_calls = (opt.steps + S - 1) // S
+    t0 = None
+    done = 0
+    for c in range(n_calls):
+        vis = train_views[rng.integers(0, len(train_views), (S, B))].astype(np.int32)
+        pis = rng.integers(0, ds.H * ds.W, (S, B)).astype(np.int32)
+        key, sub = jax.random.split(key)
+        params, opt_state, losses = scan_fn(
+            params, opt_state, poses, images_flat, masks_flat,
+            jnp.asarray(vis), jnp.asarray(pis), grid, sub,
+        )
+        done += S
+        if c == 0:
+            jax.block_until_ready(losses)
+            t0 = time.perf_counter()
+        if c % 5 == 0 or c == n_calls - 1:
+            lo = np.asarray(losses)
+            rate = (done - S) / max(time.perf_counter() - (t0 or 0), 1e-9)
+            print(f"step {done}: loss {lo[-5:].mean():.5f} ({rate:.1f} steps/s)",
+                  file=sys.stderr)
+        if opt.grid_refresh and done % opt.grid_refresh < S:
+            grid = refresh(params, grid)
+
+    save_checkpoint(opt.out, {
+        "params": jax.device_get(params),
+        "opt_state": jax.device_get(opt_state),
+        "grid": np.asarray(jax.device_get(grid)),
+        "step": int(state["step"]) + opt.steps,
+    })
+    print(json.dumps({"out": opt.out, "steps": opt.steps, "ss": opt.ss,
+                      "final_loss": float(np.asarray(losses)[-5:].mean())}))
+
+
+if __name__ == "__main__":
+    main()
