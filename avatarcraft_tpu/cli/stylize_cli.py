@@ -41,7 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--sd_weights", default=None, type=str,
                         help="path to converted Stable Diffusion weights (torch dir or file)")
     parser.add_argument("--use_opacity", default=True, type=options.str2bool)
-    parser.add_argument("--w_opacity", default=10000.0, type=float)
+    parser.add_argument("--w_opacity", default=1e5, type=float,
+                        help="opacity-loss weight (reference: stylize.py:193)")
     parser.add_argument("--w_eikonal", default=0.01, type=float)
     parser.add_argument("--exp_name", type=str, default="zombie")
     parser.add_argument("--epochs", default=2, type=int)
@@ -149,6 +150,7 @@ def main(argv=None):
         batch_size=opt.batch_size,
         lr=opt.lr,
         w_eikonal=opt.w_eikonal,
+        w_opacity=opt.w_opacity,
         use_opacity=opt.use_opacity,
         stylize_head=opt.stylize_head,
         coarse_head=opt.coarse_head,

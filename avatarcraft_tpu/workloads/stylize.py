@@ -65,6 +65,7 @@ class StylizeConfig:
     batch_size: int = 4096  # rays per patch (reference: stylize.py:397)
     lr: float = 5e-3
     w_eikonal: float = 0.01
+    w_opacity: float = 1e5  # reference: stylize.py:193 (smooth_l1 * 1e5)
     use_opacity: bool = True
     stylize_head: bool = True
     coarse_head: float = 0.2
@@ -123,6 +124,7 @@ def make_phaseB_step(
     w_eikonal: float,
     use_opacity: bool,
     chunk: int,
+    w_opacity: float = 1e5,
 ):
     """One optimizer step: accumulate VJP-injected gradients over all patches.
 
@@ -141,8 +143,8 @@ def make_phaseB_step(
             op_gt = jax.lax.stop_gradient(jnp.clip(out_gt["weight_sum"], 0.0, 1.0))
             d = op_pred - op_gt
             ad = jnp.abs(d)
-            opacity = jnp.mean(jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5)) * 1e5
-            loss = loss + opacity
+            opacity = jnp.mean(jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5))
+            loss = loss + w_opacity * opacity
         return loss
 
     @jax.jit
@@ -212,6 +214,7 @@ def make_phaseB_step_fast(
     w_eikonal: float,
     use_opacity: bool,
     chunk: int,
+    w_opacity: float = 1e5,
 ):
     """Fast-sampler phase B: same VJP-injection + regularizers as
     make_phaseB_step but through render_rays_fast against the density grid."""
@@ -227,7 +230,7 @@ def make_phaseB_step_fast(
             op_gt = jax.lax.stop_gradient(jnp.clip(out_gt["weight_sum"], 0.0, 1.0))
             d = op_pred - op_gt
             ad = jnp.abs(d)
-            loss = loss + jnp.mean(jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5)) * 1e5
+            loss = loss + w_opacity * jnp.mean(jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5))
         return loss
 
     @jax.jit
@@ -291,7 +294,7 @@ class StylizeTrainer:
                 self.fast_cfg = FastRenderConfig(bound=NSR_BOUND)
             self._phaseB = make_phaseB_step_fast(
                 self.fcfg, self.fast_cfg, self.tx, c.w_eikonal, c.use_opacity,
-                c.batch_size,
+                c.batch_size, c.w_opacity,
             )
             from avatarcraft_tpu.workloads.reconstruct import make_grid_update_fn
 
@@ -302,7 +305,8 @@ class StylizeTrainer:
                 )
         else:
             self._phaseB = make_phaseB_step(
-                self.fcfg, self.rcfg, self.tx, c.w_eikonal, c.use_opacity, c.batch_size
+                self.fcfg, self.rcfg, self.tx, c.w_eikonal, c.use_opacity,
+                c.batch_size, c.w_opacity,
             )
         self._step_count = 0
         self._text_cache: dict[str, jnp.ndarray] = {}
