@@ -47,6 +47,22 @@ def _ring_all_gather_kernel(
     right = jax.lax.rem(me + 1, n)
     left = jax.lax.rem(me - 1 + n, n)
 
+    # Entry barrier on the collective_id-keyed system barrier semaphore:
+    # neighbors must have ENTERED this kernel before any RDMA lands in their
+    # comm_buf (a straggler's buffer could otherwise still belong to the
+    # previous program). Mosaic requires exactly this pairing — a
+    # collective_id is only legal when the custom barrier is used (the real
+    # compiler rejects the r2 barrier-less kernel; interpret mode never
+    # checked it).
+    barrier = pltpu.get_barrier_semaphore()
+    pltpu.semaphore_signal(
+        barrier, inc=1, device_id=left, device_id_type=pltpu.DeviceIdType.LOGICAL
+    )
+    pltpu.semaphore_signal(
+        barrier, inc=1, device_id=right, device_id_type=pltpu.DeviceIdType.LOGICAL
+    )
+    pltpu.semaphore_wait(barrier, 2)
+
     # stage own shard into slot 0, deposit it into out[me]
     cp_in = pltpu.make_async_copy(local_ref, comm_buf.at[0], copy_sem)
     cp_in.start()
