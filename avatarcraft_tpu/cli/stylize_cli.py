@@ -70,7 +70,65 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["fd7", "fd4", "analytic"],
                         help="normal estimator for the fast sampler (default "
                              "fd4; analytic = exact jvp gradient, fastest)")
+    parser.add_argument("--probe_pool", default=2, type=int,
+                        help="fast sampler: probe against a max-pooled grid at "
+                             "1/N resolution (the bench's fast gather tier)")
+    parser.add_argument("--sample_budget", default=-1, type=int,
+                        help="fast sampler: global per-call sample compaction "
+                             "budget. -1 = derive from the schedule's own pose "
+                             "distribution against the current grid (+35%% "
+                             "margin); 0 = off (every ray pays k_samples)")
     return parser
+
+
+def derive_sample_budget(cfg, fcfg, grid, probe_cfg, chunk):
+    """Max probe-selected sample count over the stylize pose distribution,
+    measured per ``chunk``-ray contiguous slice (the phase-A/B call unit),
+    +35% margin for SDS geometry drift, rounded to 4096.
+
+    The bench derives the same quantity for its orbit (bench.py); here the
+    sweep must include the head-box closeups (head fills the frame at dist
+    0.5 -- far higher occupied-sample counts than body views)."""
+    import jax
+    import jax.numpy as jnp
+
+    from avatarcraft_tpu.cameras import style_360_path
+    from avatarcraft_tpu.cameras.rays import sparse_ray_sampling
+    from avatarcraft_tpu.constants import (
+        CAN_HEAD_CAMERA_DIST,
+        CAN_HEAD_OFFSET,
+        CANONICAL_CAMERA_DIST_TRAIN,
+    )
+    from avatarcraft_tpu.models.instant_nsr import count_fast_samples
+
+    rng = np.random.default_rng(123)
+    center, up = np.zeros(3), np.array([0.0, 1.0, 0.0])
+    poses = []
+    for head_rate in (cfg.coarse_head, cfg.fine_head):
+        p, _ = style_360_path(
+            center, up, CANONICAL_CAMERA_DIST_TRAIN, 24,
+            add_noise=cfg.augment_cam, noise_scale=2.0 if cfg.augment_cam else 1.0,
+            style_head=cfg.stylize_head, head_offset=CAN_HEAD_OFFSET,
+            head_rate=max(head_rate, 0.5) if cfg.stylize_head else 0.0,
+            head_dist=CAN_HEAD_CAMERA_DIST, rng=rng,
+        )
+        poses.extend(p)
+
+    from avatarcraft_tpu.cameras import pose2rays
+
+    counter = jax.jit(lambda ro, rd, g: count_fast_samples(ro, rd, probe_cfg, g))
+    worst = 0
+    for pose in poses:
+        ro, rd = pose2rays(cfg.H, cfg.W, pose)
+        n = ro.shape[0]
+        c = min(chunk, n)
+        for i in range(0, n - c + 1, c):
+            worst = max(worst, int(counter(
+                jnp.asarray(ro[i:i + c]), jnp.asarray(rd[i:i + c]), grid)))
+    budget = -(-int(worst * 1.35) // 4096) * 4096
+    if budget >= chunk * probe_cfg.k_samples:
+        return 0  # compaction would not drop anything; run unbudgeted
+    return budget
 
 
 def build_guidance(opt):
@@ -176,11 +234,33 @@ def main(argv=None):
         if baked:
             print(f"[stylize] normal_mode={baked} (from artifact provenance)")
             opt.normal_mode = baked
-    if opt.sampler == "fast" and opt.normal_mode:
-        from avatarcraft_tpu.constants import NSR_BOUND as _B
+    if opt.sampler == "fast":
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
         from avatarcraft_tpu.models.instant_nsr import FastRenderConfig
 
-        fast_cfg = FastRenderConfig(bound=_B, normal_mode=opt.normal_mode)
+        fast_cfg = FastRenderConfig(
+            bound=NSR_BOUND,
+            normal_mode=opt.normal_mode or "fd4",
+            probe_pool=opt.probe_pool,
+        )
+        if grid is None:
+            # the trainer would refresh it anyway; do it here so the budget
+            # derivation below can probe against the real occupancy
+            from avatarcraft_tpu.workloads.reconstruct import make_grid_update_fn
+
+            grid = make_grid_update_fn(fcfg, NSR_BOUND)(
+                params_style, jnp.zeros((129,) * 3, jnp.float32)
+            )
+        if opt.sample_budget < 0:
+            budget = derive_sample_budget(cfg, fcfg, grid, fast_cfg, opt.batch_size)
+            print(f"[stylize] derived sample budget: {budget} "
+                  f"(0 = compaction off)", flush=True)
+        else:
+            budget = opt.sample_budget
+        fast_cfg = _dc.replace(fast_cfg, sample_budget=budget)
     trainer = StylizeTrainer(
         cfg, fcfg, build_guidance(opt), params_style, params_gt, grid=grid,
         fast_cfg=fast_cfg,
@@ -199,9 +279,24 @@ def main(argv=None):
                 p, ro, rd, fcfg, trainer.fast_cfg, g, 1.0
             )["rgb"]
         )
+        # budget-safe: the derived sample budget is sized per batch_size-ray
+        # call, so the val render must use the same chunk size
+        _val_chunk = opt.batch_size
 
         def val_render(p, ro, rd):
-            return _val_fast(p, ro, rd, trainer.grid)
+            # host-side chunk loop: reuses one small-shape executable instead
+            # of compiling a full-frame single-shot program (a multi-minute
+            # compile that looks like a stall to run supervisors)
+            n = ro.shape[0]
+            pad = (-n) % _val_chunk
+            if pad:
+                ro = np.concatenate([ro, np.zeros((pad, 3), ro.dtype)])
+                rd = np.concatenate([rd, np.tile(rd[-1:], (pad, 1))])
+            outs = [
+                _val_fast(p, ro[i : i + _val_chunk], rd[i : i + _val_chunk], trainer.grid)
+                for i in range(0, n + pad, _val_chunk)
+            ]
+            return np.concatenate([np.asarray(o) for o in outs])[:n]
     else:
         rcfg_val = RenderConfig(num_steps=64, upsample_steps=64, bound=NSR_BOUND)
         val_render = jax.jit(
@@ -227,6 +322,10 @@ def main(argv=None):
 
     def on_step(step, params):
         if (step + 1) % 20 == 0:
+            # block on the params so the printed step count is REAL device
+            # progress (dispatch is async; without this the host races ahead
+            # and the log goes silent while the backlog drains)
+            jax.block_until_ready(params)
             rate = (step + 1) / (_time.time() - _t0)
             print(f"[stylize] step {step + 1} ({rate:.2f} steps/s)", flush=True)
         if (step + 1) % opt.i_val == 0:

@@ -132,11 +132,18 @@ def make_phaseB_step(
     accumulation happens in-register (a tree-sum over the patch axis).
     """
 
+    # Reference loss semantics are defined at 4096-ray patches (stylize.py:148,
+    # 166-193): the per-step regularizer gradient is a SUM over patches of
+    # per-patch MEANS. The SDS term is a sum over rays (patch-size invariant),
+    # so running larger TPU patches must scale the regularizer means by
+    # chunk/4096 to keep the same SDS:regularizer balance.
+    reg_scale = chunk / 4096.0
+
     def patch_loss(params, params_gt, ro, rd, g_rgb, bg, key):
         out = render_rays(params, ro, rd, key, fcfg, rcfg, bg)
         # <rgb, g> == torch rgb.backward(gradient=g) (reference: stylize.py:163)
         sds_term = jnp.vdot(out["rgb"], g_rgb)
-        loss = sds_term + w_eikonal * out["gradient_error"]
+        loss = sds_term + reg_scale * w_eikonal * out["gradient_error"]
         if use_opacity:
             out_gt = render_rays(params_gt, ro, rd, key, fcfg, rcfg, bg)
             op_pred = jnp.clip(out["weight_sum"], 0.0, 1.0)
@@ -144,7 +151,7 @@ def make_phaseB_step(
             d = op_pred - op_gt
             ad = jnp.abs(d)
             opacity = jnp.mean(jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5))
-            loss = loss + w_opacity * opacity
+            loss = loss + reg_scale * w_opacity * opacity
         return loss
 
     @jax.jit
@@ -220,17 +227,23 @@ def make_phaseB_step_fast(
     make_phaseB_step but through render_rays_fast against the density grid."""
     from avatarcraft_tpu.models.instant_nsr import render_rays_fast
 
+    # see make_phaseB_step: keep the reference 4096-ray-patch SDS:regularizer
+    # balance when running larger TPU patches
+    reg_scale = chunk / 4096.0
+
     def patch_loss(params, params_gt, ro, rd, g_rgb, bg, grid):
         out = render_rays_fast(params, ro, rd, fcfg, fast_cfg, grid, bg)
         sds_term = jnp.vdot(out["rgb"], g_rgb)
-        loss = sds_term + w_eikonal * out["gradient_error"]
+        loss = sds_term + reg_scale * w_eikonal * out["gradient_error"]
         if use_opacity:
             out_gt = render_rays_fast(params_gt, ro, rd, fcfg, fast_cfg, grid, bg)
             op_pred = jnp.clip(out["weight_sum"], 0.0, 1.0)
             op_gt = jax.lax.stop_gradient(jnp.clip(out_gt["weight_sum"], 0.0, 1.0))
             d = op_pred - op_gt
             ad = jnp.abs(d)
-            loss = loss + w_opacity * jnp.mean(jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5))
+            loss = loss + reg_scale * w_opacity * jnp.mean(
+                jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5)
+            )
         return loss
 
     @jax.jit

@@ -98,7 +98,20 @@ def main(argv=None):
         fg = a_b > 0.5
         dist = float(np.abs(rgb_e - target)[fg].mean()) if fg.any() else 0.0
         bare_dist = float(np.abs(rgb_b - target)[fg].mean()) if fg.any() else 0.0
+        # Palette-ramp affinity: SDS is a distributional objective (it pulls
+        # toward the guidance's mode, not a per-pixel remap), so also measure
+        # the distance to the NEAREST color on the style's luminance ramp.
+        from avatarcraft_tpu.models.toy_guidance import style_map
+
+        ramp = np.asarray(
+            style_map(jnp.tile(jnp.linspace(0, 1, 64)[:, None], (1, 3)), s_idx)
+        )  # [64, 3]
+        def ramp_dist(img):
+            d = np.abs(img[fg][:, None, :] - ramp[None, :, :]).mean(axis=2)
+            return float(d.min(axis=1).mean()) if fg.any() else 0.0
         rows.append({"view": vi, "style_dist": dist, "bare_dist": bare_dist,
+                     "palette_dist": ramp_dist(rgb_e),
+                     "bare_palette_dist": ramp_dist(rgb_b),
                      "fg_frac": float(fg.mean())})
         if opt.save_pngs:
             import imageio.v2 as imageio
@@ -112,10 +125,16 @@ def main(argv=None):
 
     mean_dist = float(np.mean([r["style_dist"] for r in rows]))
     mean_bare = float(np.mean([r["bare_dist"] for r in rows]))
+    mean_pal = float(np.mean([r["palette_dist"] for r in rows]))
+    mean_pal_bare = float(np.mean([r["bare_palette_dist"] for r in rows]))
     result = {
         "ckpt": opt.ckpt, "style": opt.style, "res": R,
         "mean_style_dist": mean_dist, "mean_bare_dist": mean_bare,
         "improvement_factor": (mean_bare / mean_dist) if mean_dist > 0 else None,
+        "mean_palette_dist": mean_pal, "mean_bare_palette_dist": mean_pal_bare,
+        "palette_improvement_factor": (
+            (mean_pal_bare / mean_pal) if mean_pal > 0 else None
+        ),
         "views": rows,
     }
     if opt.out:
