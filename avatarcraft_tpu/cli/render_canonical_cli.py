@@ -141,22 +141,21 @@ def main(argv=None):
         if opt.sampler == "fast":
             from avatarcraft_tpu.models.instant_nsr import (
                 FastRenderConfig,
-                network_field_fns,
                 render_rays_fast,
             )
-            from avatarcraft_tpu.ops.occupancy import update_density_grid
 
             if opt.grid_path:
                 grid = jnp.asarray(np.load(opt.grid_path))
             else:
                 print("[render] refreshing density grid from the SDF ...")
-                field = network_field_fns(params, fcfg, NSR_BOUND)
-                grid = jax.jit(
-                    lambda: update_density_grid(
-                        lambda x: field.sdf(x)[:, 0],
-                        jnp.zeros((129,) * 3), NSR_BOUND, block=1,
-                    )
-                )()
+                # params must be a jit ARGUMENT: a closed-over param tree is
+                # serialized into the remote-compile request (HTTP 413 at
+                # full model size)
+                from avatarcraft_tpu.workloads.reconstruct import make_grid_update_fn
+
+                grid = make_grid_update_fn(fcfg, NSR_BOUND)(
+                    params, jnp.zeros((129,) * 3, jnp.float32)
+                )
             fast_cfg = FastRenderConfig(n_probes=192, k_samples=32, bound=NSR_BOUND,
                                         normal_mode=opt.normal_mode or "fd4")
             chunk = opt.batch_size * 4
