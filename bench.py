@@ -20,6 +20,9 @@ pays the full 32-sample budget).
 
 The reference-parity path (hash encoder + 64+64 stratified/importance
 sampling + 7-eval central differences) can be benched with --path=parity.
+The warped-animation path (posed-space occupancy + compacted kNN warp,
+the TPU redesign of reference render_warp.py's per-batch CPU igl warp)
+can be benched with --path=warp.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); we normalize
 against an estimated 30,000 rays/sec for the reference pipeline on A100-80G
@@ -40,6 +43,13 @@ import sys
 import time
 
 A100_BASELINE_RAYS_PER_SEC = 30_000.0
+# Estimated reference warped-render throughput on A100 (BASELINE.md covers
+# "warped animation render" but the reference publishes no number): each
+# 8192-ray batch at 32+32 samples pays TWO CPU igl closest-point passes
+# (initial + post-upsample points, ~0.5M queries each vs 13.8k faces,
+# ~1 s total at ~1 us/query) plus the GPU render (~0.14 s at the 60k rays/s
+# a 64-sample pipeline would sustain) -> ~8192 / 1.15 s. Estimate only.
+A100_BASELINE_WARP_RAYS_PER_SEC = 7_000.0
 ARTIFACT_CKPT = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "artifacts", "canonical",
     "bare_smpl_tpu.pth.tar",
@@ -107,6 +117,50 @@ def main(path: str = "fast"):
             params, groups[g][0][0], groups[g][1][0], jax.random.PRNGKey(g),
         )
         metric = "canonical_render_256_rays_per_sec_per_chip_parity"
+    elif path == "warp":
+        # Warped-animation render (reference render_warp.py config: 32+32
+        # samples, 8192-ray chunks), TPU fast path: per-frame voxelized
+        # posed-space occupancy grid + compacted on-device kNN warp — the
+        # redesign of the reference's per-batch CPU igl round trip.
+        from avatarcraft_tpu.data.amass import load_pose_sequence
+        from avatarcraft_tpu.models.smpl import load_smpl
+        from avatarcraft_tpu.warp import WarpData
+        from avatarcraft_tpu.workloads.warp_render import (
+            WarpRenderSettings,
+            calc_local_trans,
+            make_warp_frame_renderer_fast,
+        )
+
+        art_dir = os.path.dirname(ARTIFACT_CKPT)
+        if os.path.exists(ARTIFACT_CKPT):
+            from avatarcraft_tpu.utils.checkpoint import load_params_with_config
+
+            params, fcfg = load_params_with_config(ARTIFACT_CKPT)
+            print(f"[bench] converged checkpoint: {ARTIFACT_CKPT}", file=sys.stderr)
+        else:
+            fcfg = FieldConfig(encoder="tpu_pyramid")
+            params = init_field_params(jax.random.PRNGKey(0), fcfg)
+            print("[bench] no artifact checkpoint; random-init field", file=sys.stderr)
+        model = load_smpl(os.path.join(art_dir, "demo_body_rig.npz"))
+        poses = load_pose_sequence(os.path.join(art_dir, "demo_poses.npy"))
+        world_verts, Ts, _ = calc_local_trans(
+            model, render_type="animate", poses=poses, max_frames=4,
+            rest_pose="zero",
+        )
+        frames = [
+            WarpData.create(world_verts[i], model.faces, Ts[i]) for i in range(4)
+        ]
+        render_frame = make_warp_frame_renderer_fast(fcfg, WarpRenderSettings(), 1.0)
+        ro, rd = pose2rays(
+            H, W, pose_spherical(30.0, -5.0, CANONICAL_CAMERA_DIST_VAL)
+        )
+        # one frame per call (distinct posed bodies defeat relay memoization);
+        # conservative by the ~30 ms relay round-trip, like parity
+        n_frames = 1
+        render = jax.jit(lambda p, o, d, wd: render_frame(p, o, d, wd).sum())
+        args = lambda g: (params, ro, rd, frames[g])
+        metric = "warp_render_256_rays_per_sec_per_chip"
+        baseline = A100_BASELINE_WARP_RAYS_PER_SEC
     else:
         use_artifact = os.path.exists(ARTIFACT_CKPT) and os.path.exists(ARTIFACT_GRID)
         if use_artifact:
@@ -174,6 +228,8 @@ def main(path: str = "fast"):
         render = jax.jit(_render_group)
         args = lambda g: (params, *groups[g], grid)
 
+    if path != "warp":
+        baseline = A100_BASELINE_RAYS_PER_SEC
     _ = float(render(*args(0)))  # compile
     _ = float(render(*args(1)))  # settle
     ts = []
@@ -190,7 +246,7 @@ def main(path: str = "fast"):
                 "metric": metric,
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/sec",
-                "vs_baseline": round(rays_per_sec / A100_BASELINE_RAYS_PER_SEC, 3),
+                "vs_baseline": round(rays_per_sec / baseline, 3),
             }
         )
     )
