@@ -81,9 +81,22 @@ def main(argv=None):
         model = synthetic_smpl_params(0, n_verts=512, n_joints=24)
     else:
         model = load_smpl(opt.smpl_path)
-    rest = opt.rest_pose or (
-        "zero" if opt.smpl_path.endswith(".npz") else "da"
-    )
+    rest = opt.rest_pose
+    if rest is None:
+        # default from rig provenance, NOT file extension: real SMPL bodies
+        # may also ship as .npz (models/smpl.py:53-57) and those are
+        # da-pose-trained like the reference's pickle
+        rest = "da"
+        if opt.smpl_path.endswith(".npz"):
+            with np.load(opt.smpl_path) as d:
+                if "rest_pose" in d.files:
+                    rest = str(d["rest_pose"])
+                else:
+                    print("[render_warp] WARNING: .npz body without a "
+                          "rest_pose marker; assuming 'da' (reference "
+                          "parity). Mesh-derived demo bodies from "
+                          "tools/make_demo_body.py carry rest_pose='zero'; "
+                          "pass --rest_pose to override.")
     world_verts, Ts, n_frames = calc_local_trans(
         model,
         render_type=opt.render_type,

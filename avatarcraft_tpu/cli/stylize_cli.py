@@ -81,7 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def derive_sample_budget(cfg, fcfg, grid, probe_cfg, chunk):
+def derive_sample_budget(cfg, grid, probe_cfg, chunk):
     """Max probe-selected sample count over the stylize pose distribution,
     measured per ``chunk``-ray contiguous slice (the phase-A/B call unit),
     +35% margin for SDS geometry drift, rounded to 4096.
@@ -93,7 +93,6 @@ def derive_sample_budget(cfg, fcfg, grid, probe_cfg, chunk):
     import jax.numpy as jnp
 
     from avatarcraft_tpu.cameras import style_360_path
-    from avatarcraft_tpu.cameras.rays import sparse_ray_sampling
     from avatarcraft_tpu.constants import (
         CAN_HEAD_CAMERA_DIST,
         CAN_HEAD_OFFSET,
@@ -187,6 +186,15 @@ def main(argv=None):
 
     if opt.guidance_type == "clip":
         raise NotImplementedError("CLIP guidance is dead in the reference too")
+    if opt.guidance_type == "toy":
+        # fail on a typo'd style NOW, not after minutes of grid refresh +
+        # budget derivation (build_guidance re-checks at trainer setup)
+        from avatarcraft_tpu.models.toy_guidance import STYLES, style_index
+
+        if style_index(opt.tgt_text) < 0:
+            raise SystemExit(
+                f"--tgt_text must name a trained toy style ({', '.join(STYLES)})"
+            )
 
     from avatarcraft_tpu.utils.checkpoint import load_params_with_config
 
@@ -255,7 +263,7 @@ def main(argv=None):
                 params_style, jnp.zeros((129,) * 3, jnp.float32)
             )
         if opt.sample_budget < 0:
-            budget = derive_sample_budget(cfg, fcfg, grid, fast_cfg, opt.batch_size)
+            budget = derive_sample_budget(cfg, grid, fast_cfg, opt.batch_size)
             print(f"[stylize] derived sample budget: {budget} "
                   f"(0 = compaction off)", flush=True)
         else:
@@ -318,15 +326,21 @@ def main(argv=None):
 
     import time as _time
 
-    _t0 = _time.time()
+    # rate baseline starts at the FIRST completed step, not process start:
+    # the first phase-A/B executables take minutes of remote compile, which
+    # would otherwise poison the steps/s readout for thousands of steps
+    _clock = {"t0": None, "step0": 0}
 
     def on_step(step, params):
-        if (step + 1) % 20 == 0:
+        if _clock["t0"] is None:
+            jax.block_until_ready(params)
+            _clock["t0"], _clock["step0"] = _time.time(), step + 1
+        elif (step + 1) % 20 == 0:
             # block on the params so the printed step count is REAL device
             # progress (dispatch is async; without this the host races ahead
             # and the log goes silent while the backlog drains)
             jax.block_until_ready(params)
-            rate = (step + 1) / (_time.time() - _t0)
+            rate = (step + 1 - _clock["step0"]) / (_time.time() - _clock["t0"])
             print(f"[stylize] step {step + 1} ({rate:.2f} steps/s)", flush=True)
         if (step + 1) % opt.i_val == 0:
             log_img(step, params)

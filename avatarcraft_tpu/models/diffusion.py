@@ -120,7 +120,9 @@ class SDSGuidance:
         The training loop calls this every step; the eager path dispatches
         the UNet op-by-op, which this environment's ~30 ms/call execution
         relay turns into seconds per step."""
-        cache_key = (pred_rgb.shape, text_embeddings.shape, pred_depth is None)
+        # two lazy wrappers (with/without depth conditioning); jax.jit itself
+        # specializes and caches per input shape
+        cache_key = pred_depth is None
         if not hasattr(self, "_sds_jit"):
             self._sds_jit = {}
         if cache_key not in self._sds_jit:

@@ -181,8 +181,9 @@ def test_sds_image_grad_jit_matches_eager():
     eager = np.asarray(g.sds_image_grad(key, emb, img, 50.0))
     jitted = np.asarray(g.sds_image_grad_jit(key, emb, img, 50.0))
     np.testing.assert_allclose(jitted, eager, atol=1e-6)
-    # cache reuse with a second shape
+    # a second shape reuses the same wrapper (jax.jit specializes per shape
+    # internally; the hand cache only keys on depth-vs-no-depth)
     img2 = jnp.clip(jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 16, 16)), 0, 1)
     out2 = np.asarray(g.sds_image_grad_jit(key, emb, img2, 50.0))
     assert out2.shape == (1, 3, 16, 16) and np.isfinite(out2).all()
-    assert len(g._sds_jit) == 2
+    assert len(g._sds_jit) == 1

@@ -142,6 +142,9 @@ def main(argv=None):
         parents=parents,
         lbs_weights=lbs_weights,
         faces=faces,
+        # the template IS the da-posed surface -> warp rest pose is zero;
+        # render_warp_cli reads this marker to pick --rest_pose
+        rest_pose=np.array("zero"),
     )
     print(f"saved {opt.out} (rig={opt.rig}, J={J}, "
           f"{os.path.getsize(opt.out) / 2**20:.1f} MB)")
