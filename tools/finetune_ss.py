@@ -29,7 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--state", required=True, help="orbax train-state dir to start from")
+    ap.add_argument("--state", default=None, help="orbax train-state dir to start from")
+    ap.add_argument("--ckpt", default=None,
+                    help="alternative start: baked .pth.tar artifact "
+                         "(params via the fieldcfg sidecar; fresh opt state)")
+    ap.add_argument("--grid_path", default=None,
+                    help="density grid .npy for --ckpt (e.g. "
+                         "artifacts/canonical/grid.npy)")
     ap.add_argument("--out", required=True, help="output orbax state dir")
     ap.add_argument("--data_path", default="/root/reference/data/smpl_da_512")
     ap.add_argument("--holdout_views", default="13,62,95")
@@ -42,6 +48,13 @@ def main(argv=None):
     ap.add_argument("--eikonal", default=0.1, type=float)
     ap.add_argument("--grid_refresh", default=1000, type=int)
     ap.add_argument("--encoder", default="tpu_pyramid")
+    ap.add_argument("--edge_frac", default=0.0, type=float,
+                    help="fraction of each batch importance-sampled from the "
+                         "silhouette band (mask-boundary dilation), where "
+                         "~92%% of the native-res MSE lives "
+                         "(docs/PERFORMANCE.md); rest uniform")
+    ap.add_argument("--edge_band", default=3, type=int,
+                    help="half-width in pixels of the silhouette band")
     opt = ap.parse_args(argv)
 
     import jax
@@ -65,19 +78,31 @@ def main(argv=None):
     )
 
     ds = SMPLMultiviewDataset(opt.data_path)
-    fcfg = FieldConfig(encoder=opt.encoder)
-    with jax.default_device(jax.devices("cpu")[0]):
-        params_like = jax.device_get(init_field_params(jax.random.PRNGKey(0), fcfg))
     tx = make_optimizer(ReconstructConfig(lr=opt.lr, epochs=1), opt.steps)
-    like = {
-        "params": params_like,
-        "opt_state": jax.device_get(tx.init(params_like)),
-        "grid": np.zeros((129,) * 3, np.float32),
-        "step": 0,
-    }
-    state = load_checkpoint(opt.state, like)
-    params, grid = state["params"], jnp.asarray(state["grid"])
-    print(f"loaded step {state['step']} from {opt.state}", file=sys.stderr)
+    if opt.ckpt is not None:
+        from avatarcraft_tpu.utils.checkpoint import load_params_with_config
+
+        if opt.grid_path is None:
+            raise SystemExit("--ckpt requires --grid_path")
+        params, fcfg = load_params_with_config(opt.ckpt)
+        grid = jnp.asarray(np.load(opt.grid_path))
+        start_step = 0
+        print(f"loaded baked artifact {opt.ckpt} (encoder={fcfg.encoder})",
+              file=sys.stderr)
+    else:
+        fcfg = FieldConfig(encoder=opt.encoder)
+        with jax.default_device(jax.devices("cpu")[0]):
+            params_like = jax.device_get(init_field_params(jax.random.PRNGKey(0), fcfg))
+        like = {
+            "params": params_like,
+            "opt_state": jax.device_get(tx.init(params_like)),
+            "grid": np.zeros((129,) * 3, np.float32),
+            "step": 0,
+        }
+        state = load_checkpoint(opt.state, like)
+        params, grid = state["params"], jnp.asarray(state["grid"])
+        start_step = int(state["step"])
+        print(f"loaded step {start_step} from {opt.state}", file=sys.stderr)
     opt_state = tx.init(params)
 
     ss2 = opt.ss * opt.ss
@@ -101,15 +126,47 @@ def main(argv=None):
     images_flat = jnp.asarray(ds.images.reshape(ds.n_images, -1, 3))
     masks_flat = jnp.asarray(ds.masks.reshape(ds.n_images, -1).astype(np.float32))
 
+    # Silhouette-band pixel lists (host-side, per view): the band is the
+    # set of pixels within --edge_band of the mask boundary, found by
+    # comparing the mask to its min/max over a (2b+1)^2 shift window.
+    edge_lists = None
+    if opt.edge_frac > 0:
+        b = opt.edge_band
+        m = ds.masks.astype(bool)  # [V, H, W]
+        lo, hi = m.copy(), m.copy()
+        for dy in range(-b, b + 1):
+            for dx in range(-b, b + 1):
+                if dy == 0 and dx == 0:
+                    continue
+                sh = np.roll(np.roll(m, dy, axis=1), dx, axis=2)
+                lo &= sh
+                hi |= sh
+        band = hi & ~lo  # dilation minus erosion: the boundary band
+        per_view = [np.flatnonzero(band[v].reshape(-1)).astype(np.int32)
+                    for v in range(ds.n_images)]
+        edge_len = np.asarray([len(e) for e in per_view], np.int64)
+        edge_mat = np.zeros((ds.n_images, int(edge_len.max())), np.int32)
+        for v, e in enumerate(per_view):
+            edge_mat[v, : len(e)] = e
+        edge_lists = (edge_mat, edge_len)
+        print(f"silhouette band: mean {edge_len.mean():.0f} px/view "
+              f"({100 * edge_len.mean() / (ds.H * ds.W):.1f}%)", file=sys.stderr)
+
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(1)
     B, S = opt.batch, opt.scan
+    B_edge = int(round(B * opt.edge_frac))
     n_calls = (opt.steps + S - 1) // S
     t0 = None
     done = 0
     for c in range(n_calls):
         vis = train_views[rng.integers(0, len(train_views), (S, B))].astype(np.int32)
         pis = rng.integers(0, ds.H * ds.W, (S, B)).astype(np.int32)
+        if B_edge:
+            edge_mat, edge_len = edge_lists
+            vi = vis[:, :B_edge].astype(np.int64)
+            r = rng.integers(0, 1 << 62, (S, B_edge)) % edge_len[vi]
+            pis[:, :B_edge] = edge_mat[vi, r]
         key, sub = jax.random.split(key)
         params, opt_state, losses = scan_fn(
             params, opt_state, poses, images_flat, masks_flat,
@@ -131,7 +188,7 @@ def main(argv=None):
         "params": jax.device_get(params),
         "opt_state": jax.device_get(opt_state),
         "grid": np.asarray(jax.device_get(grid)),
-        "step": int(state["step"]) + opt.steps,
+        "step": start_step + opt.steps,
     })
     print(json.dumps({"out": opt.out, "steps": opt.steps, "ss": opt.ss,
                       "final_loss": float(np.asarray(losses)[-5:].mean())}))
