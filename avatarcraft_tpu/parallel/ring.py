@@ -133,8 +133,8 @@ def ring_all_gather(
     out = pl.pallas_call(
         functools.partial(_ring_all_gather_kernel, axis_name=axis_name),
         out_shape=jax.ShapeDtypeStruct((n, S, F), x.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, S, F), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
