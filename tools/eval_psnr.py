@@ -52,6 +52,12 @@ def main(argv=None):
                     help="at level>1, box-downsample the GT (and cover each "
                          "coarse pixel's footprint with the supersamples) "
                          "instead of point-sampling pixels")
+    ap.add_argument("--band_stats", action="store_true",
+                    help="also report the silhouette-band error decomposition "
+                         "per view: share of total MSE inside the band "
+                         "(mask-boundary dilation +- band_px, plus fractional-"
+                         "coverage pixels) and the interior-only PSNR")
+    ap.add_argument("--band_px", default=2, type=int)
     ap.add_argument("--gt_mode", default="composite", choices=["composite", "raw"],
                     help="composite = GT mask-composited onto the render bg; "
                          "raw = raw dataset image vs a BLACK-background "
@@ -146,6 +152,7 @@ def main(argv=None):
         return jnp.asarray(ro.reshape(-1, 3)), jnp.asarray(rd.reshape(-1, 3))
 
     results = {}
+    band_stats = {}
     for v in [int(x) for x in opt.views.split(",") if x.strip()]:
         if opt.level > 1 and opt.gt_box:
             L = opt.level
@@ -181,6 +188,35 @@ def main(argv=None):
         results[v] = psnr
         print(f"view {v} @{side}x{side} (ss={ss}, {opt.gt_mode}): "
               f"PSNR {psnr:.2f} dB", file=sys.stderr)
+        if opt.band_stats:
+            m_full = ds.masks[v].astype(np.float32)
+            if opt.level > 1 and opt.gt_box:
+                mm = m_full.reshape(side, opt.level, side, opt.level).mean(
+                    axis=(1, 3))
+            else:
+                mm = m_full[np.ix_(ys, xs)]
+            mb = mm > 0.5
+            b = opt.band_px
+            lo, hi = mb.copy(), mb.copy()
+            for dy in range(-b, b + 1):
+                for dx in range(-b, b + 1):
+                    if dy == 0 and dx == 0:
+                        continue
+                    sh = np.roll(np.roll(mb, dy, axis=0), dx, axis=1)
+                    lo &= sh
+                    hi |= sh
+            band = (hi & ~lo) | ((mm > 0.0) & (mm < 1.0))
+            se = ((img - gt) ** 2).mean(axis=-1)
+            share = float(se[band].sum() / max(se.sum(), 1e-12))
+            mse_int = float(se[~band].mean()) if (~band).any() else 0.0
+            band_stats[v] = {
+                "band_frac": float(band.mean()),
+                "band_mse_share": share,
+                "interior_psnr": -10.0 * np.log10(max(mse_int, 1e-12)),
+            }
+            print(f"  band {100 * band.mean():.1f}% of px carries "
+                  f"{100 * share:.0f}% of MSE; interior "
+                  f"{band_stats[v]['interior_psnr']:.2f} dB", file=sys.stderr)
         if opt.out_dir:
             import imageio.v2 as imageio
 
@@ -190,7 +226,7 @@ def main(argv=None):
                 (np.clip(img, 0, 1) * 255).astype(np.uint8),
             )
 
-    print(json.dumps({
+    out = {
         "step": int(state["step"]),
         "level": opt.level,
         "supersample": ss,
@@ -198,7 +234,10 @@ def main(argv=None):
         "normal_mode": opt.normal_mode,
         "psnr": results,
         "mean_psnr": sum(results.values()) / max(len(results), 1),
-    }))
+    }
+    if band_stats:
+        out["band_stats"] = band_stats
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
