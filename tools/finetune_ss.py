@@ -55,6 +55,9 @@ def main(argv=None):
                          "(docs/PERFORMANCE.md); rest uniform")
     ap.add_argument("--edge_band", default=3, type=int,
                     help="half-width in pixels of the silhouette band")
+    ap.add_argument("--save_every", default=0, type=int,
+                    help="also save to <out>_latest every N steps (crash "
+                         "insurance; the TPU relay can stall mid-run)")
     opt = ap.parse_args(argv)
 
     import jax
@@ -183,6 +186,14 @@ def main(argv=None):
                   file=sys.stderr)
         if opt.grid_refresh and done % opt.grid_refresh < S:
             grid = refresh(params, grid)
+        if opt.save_every and done % opt.save_every < S and done < opt.steps:
+            save_checkpoint(opt.out + "_latest", {
+                "params": jax.device_get(params),
+                "opt_state": jax.device_get(opt_state),
+                "grid": np.asarray(jax.device_get(grid)),
+                "step": start_step + done,
+            })
+            print(f"saved {opt.out}_latest at step {done}", file=sys.stderr)
 
     save_checkpoint(opt.out, {
         "params": jax.device_get(params),
