@@ -70,9 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["fd7", "fd4", "analytic"],
                         help="normal estimator for the fast sampler (default "
                              "fd4; analytic = exact jvp gradient, fastest)")
-    parser.add_argument("--probe_pool", default=2, type=int,
-                        help="fast sampler: probe against a max-pooled grid at "
-                             "1/N resolution (the bench's fast gather tier)")
+    parser.add_argument("--probe_pool", default=1, type=int,
+                        help="DEPRECATED, ignored: probes are always selected "
+                             "against the fine grid via a bit-packed table "
+                             "(round 4); pooled selection inflated the sample "
+                             "budget ~2.9x for a ~1.1x probe speedup")
     parser.add_argument("--sample_budget", default=-1, type=int,
                         help="fast sampler: global per-call sample compaction "
                              "budget. -1 = derive from the schedule's own pose "
@@ -252,7 +254,6 @@ def main(argv=None):
         fast_cfg = FastRenderConfig(
             bound=NSR_BOUND,
             normal_mode=opt.normal_mode or "fd4",
-            probe_pool=opt.probe_pool,
         )
         if grid is None:
             # the trainer would refresh it anyway; do it here so the budget

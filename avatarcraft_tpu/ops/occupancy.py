@@ -101,6 +101,70 @@ def voxelize_verts(
     return grid
 
 
+def flood_fill_occupancy(
+    occ: jnp.ndarray, seed: jnp.ndarray, max_iters: int | None = None
+) -> jnp.ndarray:
+    """Grow ``seed`` within ``occ`` to its full 26-connected component(s).
+
+    Fully on-device (no scipy, no host round trip): iterated 3^3 binary
+    dilation masked by ``occ`` under ``lax.while_loop``, converging when a
+    sweep adds no cells (bounded by ``max_iters``, default 3R — a worst-case
+    serpentine path). occ/seed: [R,R,R] bool; returns [R,R,R] bool.
+    """
+    R = occ.shape[0]
+    if max_iters is None:
+        max_iters = 3 * R
+
+    def dilate(m):
+        # 3^3 max-pool, stride 1, SAME: one step of 26-connected growth
+        return jax.lax.reduce_window(
+            m, False, jax.lax.bitwise_or, (3, 3, 3), (1, 1, 1), "SAME"
+        )
+
+    def cond(state):
+        _, grew, it = state
+        return jnp.logical_and(grew, it < max_iters)
+
+    def body(state):
+        m, _, it = state
+        nxt = jnp.logical_and(dilate(m), occ)
+        return nxt, jnp.any(nxt != m), it + 1
+
+    seed = jnp.logical_and(seed, occ)
+    filled, _, _ = jax.lax.while_loop(
+        cond, body, (seed, jnp.any(seed), jnp.int32(0))
+    )
+    return filled
+
+
+def prune_grid_floaters(
+    grid: jnp.ndarray, prev_grid: jnp.ndarray, occ_threshold: float = 10.0
+) -> jnp.ndarray:
+    """In-loop SDS floater control: keep only the occupied components of
+    ``grid`` connected to the PREVIOUS grid's occupancy (temporal-coherence
+    seed), zero the rest.
+
+    SDS stylization grows isolated floater cells that saturate the same
+    density cap as the body, so no threshold separates them — but they ARE
+    separable topologically (docs/PERFORMANCE.md "occupancy-grid inflation":
+    0.41% -> 1.59% occupied over the lava schedule). The avatar evolves
+    continuously from the trusted pre-stylize reconstruction grid, so
+    flood-filling the fresh occupancy from its intersection with the previous
+    occupancy keeps the (possibly reshaped) body and drops disconnected
+    blobs — the reference fights the same floaters with its opacity loss
+    alone (reference: stylize.py:176-193, weight 1e5); this prunes the
+    sampling structure on top of it. If the seed intersection is empty
+    (shouldn't happen mid-training), the grid passes through unpruned.
+    """
+    thresh_new = jnp.minimum(occ_threshold, jnp.mean(grid))
+    thresh_old = jnp.minimum(occ_threshold, jnp.mean(prev_grid))
+    occ = grid > thresh_new
+    seed = jnp.logical_and(occ, prev_grid > thresh_old)
+    filled = flood_fill_occupancy(occ, seed)
+    keep = jnp.where(jnp.any(seed), filled, occ)
+    return jnp.where(keep, grid, 0.0)
+
+
 def pool_grid(grid: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     """Conservative max-pool of a [R,R,R] grid to ceil(R/factor)^3: every
     coarse cell covers (and dominates) its fine neighborhood, so occupancy
@@ -137,6 +201,50 @@ def occupancy_lookup(grid: jnp.ndarray, pts: jnp.ndarray, bound: float) -> jnp.n
     idx = jnp.clip(jnp.round(x01 * (R - 1)).astype(jnp.int32), 0, R - 1)
     flat = (idx[..., 0] * R + idx[..., 1]) * R + idx[..., 2]
     return jnp.take(grid.reshape(-1), flat.reshape(-1)).reshape(pts.shape[:-1])
+
+
+def pack_occupancy_bits(
+    grid: jnp.ndarray, threshold: jnp.ndarray | float
+) -> jnp.ndarray:
+    """Bit-pack the FINE grid's occupancy (grid > threshold) along z into a
+    uint32 table [R*R*ceil(R/32)].
+
+    Rationale (round 4): probing the fine 129^3 grid directly pays the
+    multi-M-row gather tier (~115-185 M rows/s), while the 65^3 max-pooled
+    grid is fast to gather but inflates *selection* ~2.9x (most
+    pooled-selected samples sit in empty fine cells and waste field evals).
+    Packing 32 z-cells per uint32 row shrinks the table to ~83k rows — the
+    fast gather tier (~340 M rows/s) — at EXACT fine-grid selection, so the
+    derived sample budget stays tight and nothing ever clips.
+    """
+    R = grid.shape[0]
+    z32 = (R + 31) // 32
+    occ = (grid > threshold).astype(jnp.uint32)
+    occ = jnp.pad(occ, ((0, 0), (0, 0), (0, z32 * 32 - R)))
+    weights = jnp.left_shift(
+        jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32)
+    )
+    packed = jnp.sum(
+        occ.reshape(R, R, z32, 32) * weights, axis=-1, dtype=jnp.uint32
+    )
+    return packed.reshape(R * R * z32)
+
+
+def occupancy_lookup_bits(
+    packed: jnp.ndarray, resolution: int, pts: jnp.ndarray, bound: float
+) -> jnp.ndarray:
+    """Nearest-cell occupancy bool at pts from a pack_occupancy_bits table.
+
+    Bit-exact against ``occupancy_lookup(grid, pts, bound) > threshold`` for
+    the (grid, threshold) the table was packed from."""
+    R = resolution
+    z32 = (R + 31) // 32
+    x01 = jnp.clip((pts + bound) / (2 * bound), 0.0, 1.0)
+    idx = jnp.clip(jnp.round(x01 * (R - 1)).astype(jnp.int32), 0, R - 1)
+    row = (idx[..., 0] * R + idx[..., 1]) * z32 + (idx[..., 2] >> 5)
+    bit = (idx[..., 2] & 31).astype(jnp.uint32)
+    words = jnp.take(packed, row.reshape(-1)).reshape(row.shape)
+    return (jnp.right_shift(words, bit) & jnp.uint32(1)).astype(bool)
 
 
 def compact_indices(
@@ -193,7 +301,7 @@ def select_occupied_samples(
     occupied probes use them all front-to-back and mask the remaining slots.
     """
     N, M = z_vals.shape
-    occupied = occ > threshold
+    occupied = occ if occ.dtype == jnp.bool_ else occ > threshold
     cum = jnp.cumsum(occupied.astype(jnp.int32), axis=-1)  # [N, M]
     n_occ = cum[:, -1:]  # [N, 1]
     i = jnp.arange(k, dtype=jnp.int32)[None, :]  # [1, k]

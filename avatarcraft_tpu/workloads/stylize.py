@@ -80,6 +80,11 @@ class StylizeConfig:
     # density grid, refreshed during training since SDS reshapes geometry)
     sampler: str = "parity"
     grid_update_every: int = 200  # fast sampler only
+    # in-loop floater control (fast sampler): at every grid refresh, keep
+    # only the occupied components connected to the previous grid's
+    # occupancy (ops/occupancy.prune_grid_floaters) — SDS grows isolated
+    # floater cells that inflate the sample budget ~4x (docs/PERFORMANCE.md)
+    prune_floaters: bool = True
 
 
 def make_phaseA_render(fcfg: FieldConfig, rcfg: RenderConfig, chunk: int):
@@ -309,9 +314,11 @@ class StylizeTrainer:
                 self.fcfg, self.fast_cfg, self.tx, c.w_eikonal, c.use_opacity,
                 c.batch_size, c.w_opacity,
             )
+            from avatarcraft_tpu.ops.occupancy import prune_grid_floaters
             from avatarcraft_tpu.workloads.reconstruct import make_grid_update_fn
 
             self._refresh_grid = make_grid_update_fn(self.fcfg, NSR_BOUND)
+            self._prune_grid = jax.jit(prune_grid_floaters)
             if self.grid is None:
                 self.grid = self._refresh_grid(
                     self.params_style, jnp.zeros((129,) * 3, jnp.float32)
@@ -415,7 +422,53 @@ class StylizeTrainer:
             and c.grid_update_every
             and self._step_count % c.grid_update_every == 0
         ):
-            self.grid = self._refresh_grid(self.params_style, self.grid)
+            new_grid = self._refresh_grid(self.params_style, self.grid)
+            if c.prune_floaters:
+                # seed chains from the trusted pre-stylize reconstruction
+                # grid: each refresh keeps only components connected to the
+                # previous (already-pruned) occupancy
+                new_grid = self._prune_grid(new_grid, self.grid)
+            self.grid = new_grid
+            self._budget_clip_guard(rays_o, rays_d)
+
+    def _budget_clip_guard(self, rays_o, rays_d):
+        """Zero-clip invariant for the compaction budget (VERDICT r3 Next
+        #1a): after each grid refresh, re-count the probe-selected samples of
+        the current view against the LIVE grid per phase-B chunk; if the
+        budget would drop samples (SDS inflates occupancy over training,
+        docs/PERFORMANCE.md), disable compaction and rebuild the jitted steps
+        rather than silently zeroing trailing rays (ops/occupancy.py
+        compact_indices drops in flat order)."""
+        c = self.cfg
+        if not (self.fast_cfg and getattr(self.fast_cfg, "sample_budget", 0)):
+            return
+        from avatarcraft_tpu.models.instant_nsr import count_fast_samples
+
+        if not hasattr(self, "_clip_counter"):
+            self._clip_counter = jax.jit(
+                lambda ro, rd, g: count_fast_samples(ro, rd, self.fast_cfg, g)
+            )
+        n = rays_o.shape[0]
+        chunk = min(c.batch_size, n)
+        worst = max(
+            int(self._clip_counter(rays_o[i : i + chunk], rays_d[i : i + chunk], self.grid))
+            for i in range(0, n - chunk + 1, chunk)
+        )
+        if worst > self.fast_cfg.sample_budget:
+            print(
+                f"[stylize] CLIP GUARD: grid refresh at step {self._step_count} "
+                f"selects {worst} samples/chunk > budget "
+                f"{self.fast_cfg.sample_budget}; disabling compaction "
+                f"(recompiles phase A/B once)",
+                flush=True,
+            )
+            self.fast_cfg = dataclasses.replace(self.fast_cfg, sample_budget=0)
+            del self._clip_counter
+            self._phaseA = {}
+            self._phaseB = make_phaseB_step_fast(
+                self.fcfg, self.fast_cfg, self.tx, c.w_eikonal, c.use_opacity,
+                c.batch_size, c.w_opacity,
+            )
 
     def train(self, max_steps: int | None = None, on_step: Callable | None = None):
         c = self.cfg

@@ -1,6 +1,6 @@
 """Sweep the fast-path render configuration on the CONVERGED artifact.
 
-Grid over (sample_budget, normal_mode, probe_pool) for the headline
+Grid over (sample_budget, normal_mode) for the headline
 256-squared canonical frame, using artifacts/canonical (field + trained
 occupancy grid). Decides bench.py's default configuration with data.
 
@@ -44,12 +44,12 @@ def main():
     ]
 
     results = []
-    for budget_mult, mode, pool in itertools.product(
-        (12, 5), ("fd4", "analytic"), (1, 2)
-    ):
+    # probe_pool axis retired in round 4 (selection is always fine-grid-exact
+    # through the bit-packed table); the honest budget axis replaces it
+    for budget_mult, mode in itertools.product((12, 5), ("fd4", "analytic")):
         cfg = FastRenderConfig(
             n_probes=192, k_samples=32, bound=NSR_BOUND,
-            sample_budget=H * W * budget_mult, normal_mode=mode, probe_pool=pool,
+            sample_budget=H * W * budget_mult, normal_mode=mode,
         )
         f = jax.jit(
             lambda p, ro, rd, g, cfg=cfg: render_rays_fast(
@@ -66,7 +66,7 @@ def main():
             ts.append(time.perf_counter() - t0)
         dt = min(ts)
         r = {
-            "budget": H * W * budget_mult, "normal_mode": mode, "probe_pool": pool,
+            "budget": H * W * budget_mult, "normal_mode": mode,
             "frame_ms": round(dt * 1e3, 1), "rays_per_sec": round(H * W / dt),
             "compile_s": round(compile_s, 1),
         }

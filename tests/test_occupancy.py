@@ -221,6 +221,25 @@ def test_render_fast_budget_equivalence():
     out2 = render_rays_fast(params, rays_o, rays_d, fcfg, cfg2, grid, 1.0)
     assert np.isfinite(np.asarray(out2["rgb"])).all()
 
+    # the AUTO-DERIVED budget (count_fast_samples on the same rays/grid, the
+    # bench/CLI derivation) never clips: image-identical to unbudgeted —
+    # the unclipped-vs-headline identity check of VERDICT r3 Next #1
+    from avatarcraft_tpu.models.instant_nsr import count_fast_samples
+
+    # include rays that miss the blob so the derived budget is a strict subset
+    rays_o2 = jnp.concatenate(
+        [rays_o, jnp.asarray([[1.2, 1.2, -2.0], [-1.3, 0.9, -2.0]])]
+    )
+    rays_d2 = jnp.concatenate([rays_d, jnp.asarray([[0.0, 0.0, 1.0]] * 2)])
+    derived = int(count_fast_samples(rays_o2, rays_d2, cfg0, grid))
+    assert 0 < derived < 10 * 8
+    out0b = render_rays_fast(params, rays_o2, rays_d2, fcfg, cfg0, grid, 1.0)
+    cfg3 = dataclasses.replace(cfg0, sample_budget=derived)
+    out3 = render_rays_fast(params, rays_o2, rays_d2, fcfg, cfg3, grid, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(out3["rgb"]), np.asarray(out0b["rgb"]), atol=1e-5
+    )
+
 
 def test_render_fast_budget_gradient_equivalence():
     """Gradients through the compacted field pass match the uncompacted path
@@ -281,9 +300,75 @@ def test_pool_grid_is_conservative():
         assert coarse[x // 2, y // 2, z // 2] > 10.0
 
 
-def test_probe_pool_render_close_to_fine():
-    """Probing against the pooled grid is conservative: renders stay close
-    to the fine-grid render on the analytic sphere."""
+def test_bitpacked_lookup_matches_fine_grid():
+    """occupancy_lookup_bits through pack_occupancy_bits is bit-exact against
+    (occupancy_lookup > threshold) on the fine grid — the round-4 probe tier
+    that replaced pooled-grid selection (VERDICT r3 Weak #3)."""
+    from avatarcraft_tpu.ops.occupancy import (
+        occupancy_lookup,
+        occupancy_lookup_bits,
+        pack_occupancy_bits,
+    )
+
+    rng = np.random.default_rng(3)
+    for R in (17, 33, 129):  # includes R % 32 != 0 tail cases
+        g = (rng.random((R, R, R)) > 0.9).astype(np.float32) * 100.0
+        grid = jnp.asarray(g)
+        thresh = jnp.minimum(10.0, jnp.mean(grid))
+        pts = jnp.asarray(rng.uniform(-1.9, 1.9, size=(4096, 3)).astype(np.float32))
+        ref = np.asarray(occupancy_lookup(grid, pts, 1.6)) > float(thresh)
+        packed = pack_occupancy_bits(grid, thresh)
+        got = np.asarray(occupancy_lookup_bits(packed, R, pts, 1.6))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_flood_fill_keeps_connected_component():
+    """flood_fill_occupancy grows the seed to exactly its 26-connected
+    component — the in-loop SDS floater prune (VERDICT r3 Next #6)."""
+    from avatarcraft_tpu.ops.occupancy import flood_fill_occupancy
+
+    occ = np.zeros((33, 33, 33), bool)
+    occ[5:15, 5:15, 5:15] = True  # body blob
+    occ[15, 15, 15] = True  # diagonal neighbor: 26-connected to the blob
+    occ[25:28, 25:28, 25:28] = True  # floater, disconnected
+    seed = np.zeros_like(occ)
+    seed[7, 7, 7] = True
+    filled = np.asarray(flood_fill_occupancy(jnp.asarray(occ), jnp.asarray(seed)))
+    assert filled[5:15, 5:15, 5:15].all()
+    assert filled[15, 15, 15]
+    assert not filled[25:28, 25:28, 25:28].any()
+    # inside a jit too (the stylize trainer runs it jitted)
+    filled_j = np.asarray(
+        jax.jit(flood_fill_occupancy)(jnp.asarray(occ), jnp.asarray(seed))
+    )
+    np.testing.assert_array_equal(filled_j, filled)
+
+
+def test_prune_grid_floaters():
+    """prune_grid_floaters zeroes floater cells disconnected from the
+    previous grid's occupancy, keeps reshaped-but-connected geometry, and
+    passes through unpruned when the seed intersection is empty."""
+    from avatarcraft_tpu.ops.occupancy import prune_grid_floaters
+
+    R = 33
+    prev = np.zeros((R, R, R), np.float32)
+    prev[5:15, 5:15, 5:15] = 100.0
+    new = np.zeros_like(prev)
+    new[5:17, 5:15, 5:15] = 100.0  # body grew 2 cells (connected to prev)
+    new[25:28, 25:28, 25:28] = 100.0  # SDS floater
+    out = np.asarray(prune_grid_floaters(jnp.asarray(new), jnp.asarray(prev)))
+    assert (out[5:17, 5:15, 5:15] == 100.0).all()
+    assert (out[25:28, 25:28, 25:28] == 0.0).all()
+    # empty seed intersection -> unpruned passthrough
+    far = np.zeros_like(prev)
+    far[25:28, 25:28, 25:28] = 100.0
+    out2 = np.asarray(prune_grid_floaters(jnp.asarray(far), jnp.asarray(prev)))
+    np.testing.assert_array_equal(out2, far)
+
+
+def test_probe_pool_flag_is_inert():
+    """probe_pool is deprecated: selection is always fine-grid-exact, so the
+    flag must not change the render at all."""
     import dataclasses
 
     grid = update_density_grid(sphere_sdf_fn, init_density_grid(65), bound=1.6)
@@ -295,9 +380,9 @@ def test_probe_pool_render_close_to_fine():
     cfg1 = dataclasses.replace(cfg0, probe_pool=2)
     out0 = render_rays_fast({}, rays_o, rays_d, SMALL_FIELD, cfg0, grid, 0.0, field=field)
     out1 = render_rays_fast({}, rays_o, rays_d, SMALL_FIELD, cfg1, grid, 0.0, field=field)
-    np.testing.assert_allclose(np.asarray(out1["rgb"]), np.asarray(out0["rgb"]), atol=0.05)
-    np.testing.assert_allclose(
-        np.asarray(out1["weight_sum"]), np.asarray(out0["weight_sum"]), atol=0.05
+    np.testing.assert_array_equal(np.asarray(out1["rgb"]), np.asarray(out0["rgb"]))
+    np.testing.assert_array_equal(
+        np.asarray(out1["weight_sum"]), np.asarray(out0["weight_sum"])
     )
 
 

@@ -83,7 +83,7 @@ def main(argv=None):
     R = opt.res
     fast_cfg = FastRenderConfig(
         n_probes=192, k_samples=32, bound=NSR_BOUND,
-        sample_budget=R * R * 5, probe_pool=2, normal_mode=normal_mode,
+        sample_budget=R * R * 5, normal_mode=normal_mode,
     )
 
     rng = np.random.default_rng(opt.seed)
