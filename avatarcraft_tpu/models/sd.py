@@ -543,6 +543,37 @@ def clip_text_apply(params: dict, cfg: CLIPTextConfig, input_ids: jnp.ndarray) -
 # ---------------------------------------------------------------------------
 
 
+class KeyAudit(dict):
+    """State-dict wrapper that records which keys a converter consumed.
+
+    ``tools/preflight_sd.py`` wraps a user-supplied diffusers/transformers
+    state_dict in this before conversion; afterwards ``consumed`` holds every
+    fully-prefixed key the converter read (``__getitem__``) or observed
+    (``__contains__`` hits), so unconsumed keys — the symptom of a layout or
+    config mismatch — can be reported loudly instead of silently dropped.
+    ``_strip_prefix`` propagates the audit into prefix-stripped sub-dicts.
+    """
+
+    def __init__(self, data, consumed: set | None = None, prefix: str = ""):
+        super().__init__(data)
+        self.consumed = consumed if consumed is not None else set()
+        self.prefix = prefix
+
+    def __missing__(self, k):
+        raise KeyError(self.prefix + k)
+
+    def __getitem__(self, k):
+        v = super().__getitem__(k)
+        self.consumed.add(self.prefix + k)
+        return v
+
+    def __contains__(self, k):
+        if super().__contains__(k):
+            self.consumed.add(self.prefix + k)
+            return True
+        return False
+
+
 def _t2j_conv(sd, prefix):
     w = np.asarray(sd[f"{prefix}.weight"])  # torch OIHW
     return {
@@ -646,8 +677,11 @@ def unet_params_from_torch(sd: dict, cfg: UNetConfig = UNetConfig()) -> dict:
 
 
 def _strip_prefix(sd: dict, prefix: str) -> dict:
-    """Sub-dict of keys under ``prefix`` (prefix removed); {} if none."""
+    """Sub-dict of keys under ``prefix`` (prefix removed); {} if none.
+    Preserves a KeyAudit wrapper so consumption tracking survives stripping."""
     out = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    if isinstance(sd, KeyAudit) and out:
+        return KeyAudit(out, sd.consumed, sd.prefix + prefix)
     return out
 
 
