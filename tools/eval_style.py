@@ -1,18 +1,29 @@
-"""Quantify how far a (stylized) field is from its procedural style target.
+"""Quantify how far a (stylized) field is from its style target.
 
-Metric for the toy-guidance stylize demonstration (VERDICT r2 item 1): render
-N holdout orbit views of the evaluated field and of the bare canonical
-artifact, build the per-view style target by palette-remapping the bare
-render's foreground (models/toy_guidance.apply_style), and report the mean
-absolute color distance over the bare foreground mask.
+Three tiers of evidence, two of them independent of the palette map that
+built the guidance's training targets (de-circularization, VERDICT r3 #9):
 
-A successful stylize run drives style_dist(styled field) far below
-style_dist(bare field) — the "before" number — while keeping the silhouette
-(opacity loss) intact.
+1. **Palette distance** (original metric): per-view target built by
+   palette-remapping the bare render's foreground
+   (models/toy_guidance.apply_style) — informative but CIRCULAR w.r.t. the
+   toy guidance's training targets, since both use the same palette map.
+2. **Foreground hue/saturation shift** (guidance-independent): the styled
+   render's saturation-weighted circular hue mean + mean foreground
+   saturation vs the bare render's. References only the two renders.
+3. **txt2img hue-distribution match** (independent target construction):
+   circular earth-mover distance between the render's foreground hue
+   histogram and the hue histogram of the GUIDANCE'S OWN txt2img samples
+   for the style prompt — "did SDS pull the field toward what the guidance
+   actually generates", with the target re-fit from samples rather than
+   from apply_style. Enabled with --guidance.
+
+A successful stylize run drives the distances (1) and (3) far below the
+bare field's numbers while keeping the silhouette (opacity loss) intact.
 
 Usage:
     python tools/eval_style.py --ckpt <styled.pth.tar> --style lava \
-        [--bare artifacts/canonical] [--out eval_style.json]
+        [--bare artifacts/canonical] [--guidance artifacts/toy_guidance] \
+        [--out eval_style.json]
 """
 
 from __future__ import annotations
@@ -23,6 +34,96 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+N_HUE_BINS = 16
+
+
+def rgb_to_hsv(rgb):
+    """[..., 3] in [0,1] -> (hue [0,1), sat [0,1], val [0,1]). numpy."""
+    import numpy as np
+
+    mx = rgb.max(axis=-1)
+    mn = rgb.min(axis=-1)
+    c = mx - mn
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        h = np.where(
+            c == 0,
+            0.0,
+            np.where(
+                mx == r,
+                ((g - b) / c) % 6.0,
+                np.where(mx == g, (b - r) / c + 2.0, (r - g) / c + 4.0),
+            ),
+        ) / 6.0
+        s = np.where(mx == 0, 0.0, c / mx)
+    return h, s, mx
+
+
+def hue_stats(rgb, mask=None):
+    """Saturation-weighted hue histogram + circular hue mean + mean sat over
+    ``mask`` (or all pixels). Gray/white/black pixels carry ~zero weight, so
+    the statistic reads the styled foreground, not the background."""
+    import numpy as np
+
+    h, s, v = rgb_to_hsv(rgb)
+    if mask is not None:
+        h, s, v = h[mask], s[mask], v[mask]
+    w = (s * v).ravel()
+    h = h.ravel()
+    hist = np.histogram(h, bins=N_HUE_BINS, range=(0.0, 1.0), weights=w)[0]
+    tot = hist.sum()
+    hist = hist / tot if tot > 0 else hist
+    ang = 2.0 * np.pi * h
+    cw = w.sum()
+    if cw > 0:
+        mean_vec = ((np.cos(ang) * w).sum() / cw, (np.sin(ang) * w).sum() / cw)
+        mean_hue = float((np.arctan2(mean_vec[1], mean_vec[0]) / (2 * np.pi)) % 1.0)
+    else:
+        mean_hue = 0.0
+    return {
+        "hue_hist": [round(float(x), 4) for x in hist],
+        "mean_hue": round(mean_hue, 4),
+        "mean_sat": round(float(s.mean()), 4) if h.size else 0.0,
+    }
+
+
+def circular_emd(p, q):
+    """1-D circular earth-mover distance between two histograms on the hue
+    circle (bins as unit mass points): min over rotations reduces to the
+    median-centered cumulative-difference formula."""
+    import numpy as np
+
+    d = np.cumsum(np.asarray(p) - np.asarray(q))
+    return float(np.abs(d - np.median(d)).sum() / len(d))
+
+
+def guidance_txt2img_hue(guidance_dir, style, n=8, steps=25, seed=0):
+    """Hue histogram of the guidance's OWN txt2img samples for the style
+    prompt — the de-circularized target distribution (no apply_style)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from avatarcraft_tpu.models.diffusion import SDSGuidance
+    from avatarcraft_tpu.models.toy_guidance import (
+        load_toy_guidance,
+        make_toy_modules,
+    )
+
+    params, tcfg = load_toy_guidance(guidance_dir)
+    g = SDSGuidance(make_toy_modules(params, tcfg))
+    emb1 = g.get_text_embeds([style])
+    # batch the prompt axis: repeat the CFG pair n times
+    emb = jnp.concatenate([jnp.repeat(e, n, axis=0) for e in jnp.split(emb1, 2)], 0)
+    lat = g.produce_latents(
+        jax.random.PRNGKey(seed), emb, height=tcfg.image_size,
+        width=tcfg.image_size, num_inference_steps=steps, guidance_scale=4.0,
+    )
+    imgs = np.asarray(g.m.vae_decode(lat))  # [n, 3, H, W] in [0,1]
+    imgs = imgs.transpose(0, 2, 3, 1).reshape(-1, 3)
+    return hue_stats(imgs.reshape(1, -1, 3)), imgs
 
 
 def main(argv=None):
@@ -38,6 +139,12 @@ def main(argv=None):
     ap.add_argument("--out", default=None)
     ap.add_argument("--save_pngs", default=None, help="dump renders here")
     ap.add_argument("--platform", default="default", choices=["cpu", "default"])
+    ap.add_argument("--guidance", default=None,
+                    help="toy-guidance dir (e.g. artifacts/toy_guidance): "
+                         "also score hue-EMD against the guidance's own "
+                         "txt2img samples (de-circularized target)")
+    ap.add_argument("--txt2img_n", default=8, type=int)
+    ap.add_argument("--txt2img_steps", default=25, type=int)
     opt = ap.parse_args(argv)
 
     if opt.platform == "cpu":
@@ -68,7 +175,7 @@ def main(argv=None):
     R = opt.res
     fast_cfg = FastRenderConfig(
         n_probes=192, k_samples=32, bound=NSR_BOUND,
-        sample_budget=R * R * 5, probe_pool=2, normal_mode=normal_mode,
+        sample_budget=R * R * 5, normal_mode=normal_mode,
     )
     s_idx = STYLES.index(opt.style)
 
@@ -112,7 +219,10 @@ def main(argv=None):
         rows.append({"view": vi, "style_dist": dist, "bare_dist": bare_dist,
                      "palette_dist": ramp_dist(rgb_e),
                      "bare_palette_dist": ramp_dist(rgb_b),
-                     "fg_frac": float(fg.mean())})
+                     "fg_frac": float(fg.mean()),
+                     # guidance-independent tier: foreground hue/sat stats
+                     "hue_eval": hue_stats(rgb_e, fg),
+                     "hue_bare": hue_stats(rgb_b, fg)})
         if opt.save_pngs:
             import imageio.v2 as imageio
 
@@ -137,6 +247,29 @@ def main(argv=None):
         ),
         "views": rows,
     }
+
+    # tier 2 summary: aggregate fg hue histogram / sat shift (independent of
+    # the palette map — pure render statistics)
+    agg_e = np.mean([r["hue_eval"]["hue_hist"] for r in rows], axis=0)
+    agg_b = np.mean([r["hue_bare"]["hue_hist"] for r in rows], axis=0)
+    result["fg_sat_eval"] = float(np.mean([r["hue_eval"]["mean_sat"] for r in rows]))
+    result["fg_sat_bare"] = float(np.mean([r["hue_bare"]["mean_sat"] for r in rows]))
+    result["fg_mean_hue_eval"] = rows[0]["hue_eval"]["mean_hue"]
+    result["fg_mean_hue_bare"] = rows[0]["hue_bare"]["mean_hue"]
+    result["hue_hist_shift_emd"] = circular_emd(agg_e, agg_b)
+
+    # tier 3: distance to the guidance's own generated hue distribution
+    if opt.guidance:
+        g_stats, _ = guidance_txt2img_hue(
+            opt.guidance, opt.style, n=opt.txt2img_n, steps=opt.txt2img_steps
+        )
+        result["txt2img_mean_hue"] = g_stats["mean_hue"]
+        result["txt2img_hue_emd_eval"] = circular_emd(agg_e, g_stats["hue_hist"])
+        result["txt2img_hue_emd_bare"] = circular_emd(agg_b, g_stats["hue_hist"])
+        e = result["txt2img_hue_emd_eval"]
+        result["txt2img_hue_improvement_factor"] = (
+            result["txt2img_hue_emd_bare"] / e if e > 0 else None
+        )
     if opt.out:
         with open(opt.out, "w") as fp:
             json.dump(result, fp, indent=1)
