@@ -144,9 +144,14 @@ def closest_point_on_triangles(
 
 
 def _closest_face_block(
-    pts: jnp.ndarray, data: WarpData, k_verts: int
+    pts: jnp.ndarray, data: WarpData, k_verts: int, tri_packed: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """For a [B,3] block: (dist2 [B], f_id [B], closest [B,3], bary [B,3])."""
+    """For a [B,3] block: (dist2 [B], f_id [B], closest [B,3], bary [B,3]).
+
+    ``tri_packed``: [F, 9] per-face corner coordinates packed into one wide
+    row (hoisted out of the block loop), so fetching a candidate triangle is
+    ONE 9-wide row gather instead of three narrow [V,3] gathers — gathers,
+    not flops, dominate this stage (benchmarks/bench_warp_internals.py)."""
     verts = data.verts
     # [B, V] squared distances via one matmul
     d2 = (
@@ -160,7 +165,7 @@ def _closest_face_block(
     B = pts.shape[0]
     cand = cand.reshape(B, -1)  # [B, k*K] candidate faces (dupes ok)
 
-    tri = data.verts[data.faces[cand]]  # [B, C, 3, 3]
+    tri = tri_packed[cand].reshape(B, cand.shape[1], 3, 3)  # [B, C, 3, 3]
     closest, bary = closest_point_on_triangles(
         pts[:, None, :], tri[:, :, 0], tri[:, :, 1], tri[:, :, 2]
     )  # [B, C, 3], [B, C, 3]
@@ -197,7 +202,11 @@ def warp_samples_to_canonical(
     pad = (-M) % block
     flat_p = jnp.concatenate([flat, jnp.zeros((pad, 3), flat.dtype)], axis=0)
 
-    fn = partial(_closest_face_block, data=data, k_verts=k_verts)
+    # per-frame packed gathers, hoisted out of the block loop: one wide row
+    # per face instead of narrow per-vertex fetches
+    tri_packed = data.verts[data.faces.reshape(-1)].reshape(-1, 9)  # [F, 9]
+    fn = partial(_closest_face_block, data=data, k_verts=k_verts,
+                 tri_packed=tri_packed)
     d2, f_id, closest, bary = jax.lax.map(
         fn, flat_p.reshape(-1, block, 3)
     )
@@ -208,13 +217,27 @@ def warp_samples_to_canonical(
 
     mask = d2 < threshold
 
-    # barycentric blend of per-vertex transforms, then invert
-    corner_T = data.Ts[data.faces[f_id]]  # [M, 3, 4, 4]
+    # barycentric blend of per-vertex transforms, then invert. The corner
+    # transforms are packed [F, 3*16] so the per-sample fetch is one wide
+    # row gather. Every T has bottom row [0, 0, 0, s] (rigid chains from
+    # models/smpl.verts_transformations, possibly uniformly scaled by
+    # SMPL_SCALE, reference: render_warp.py:200-204), so the blend does too,
+    # and the homogeneous inverse-apply has the closed form
+    #   (T^-1 [p;1])[:3] = A^-1 (p - t/s),  A = T[:3,:3], t = T[:3,3]
+    # via the 3x3 cofactor inverse — batched jnp.linalg.inv (LU) was ~45%
+    # of the whole warp cost on TPU (benchmarks/bench_warp_internals.py)
+    T_packed = data.Ts[data.faces.reshape(-1)].reshape(-1, 48)  # [F, 48]
+    corner_T = T_packed[f_id].reshape(M, 3, 4, 4)
     T_interp = jnp.sum(corner_T * bary[:, :, None, None], axis=1)  # [M,4,4]
-    T_inv = jnp.linalg.inv(T_interp)
-
-    hom = jnp.concatenate([flat, jnp.ones((M, 1), flat.dtype)], axis=-1)
-    can = jnp.einsum("mij,mj->mi", T_inv, hom)[:, :3]
+    A = T_interp[:, :3, :3]
+    s = T_interp[:, 3:4, 3]
+    t = T_interp[:, :3, 3] / jnp.where(jnp.abs(s) < 1e-20, 1.0, s)
+    r0, r1, r2 = A[:, 0], A[:, 1], A[:, 2]
+    det = jnp.sum(r0 * jnp.cross(r1, r2), axis=-1, keepdims=True)
+    inv_a = jnp.stack(
+        [jnp.cross(r1, r2), jnp.cross(r2, r0), jnp.cross(r0, r1)], axis=-1
+    ) / jnp.where(jnp.abs(det) < 1e-20, 1.0, det)[..., None]
+    can = jnp.einsum("mij,mj->mi", inv_a, flat - t)
 
     can_pts = can.reshape(N, T, 3)
     closest = closest.reshape(N, T, 3)

@@ -66,11 +66,15 @@ class MultiPromptTrainer:
         self._step_count = 0
         if c.sampler == "fast":
             from avatarcraft_tpu.models.instant_nsr import FastRenderConfig
+            from avatarcraft_tpu.ops.occupancy import prune_grid_floaters
             from avatarcraft_tpu.workloads.reconstruct import make_grid_update_fn
 
             if self.fast_cfg is None:
                 self.fast_cfg = FastRenderConfig(bound=NSR_BOUND)
             self._refresh_grid = jax.vmap(make_grid_update_fn(self.fcfg, NSR_BOUND))
+            # in-loop SDS floater control, same as the single-prompt trainer
+            # (stylize.StylizeTrainer): vmapped over the prompt axis
+            self._prune_grids = jax.jit(jax.vmap(prune_grid_floaters))
             # one grid per prompt field (geometry diverges under styling)
             self.grids = self._refresh_grid(
                 self.params_style,
@@ -156,7 +160,10 @@ class MultiPromptTrainer:
         self.params_style = optax.apply_updates(self.params_style, updates)
         self._step_count += 1
         if fast and c.grid_update_every and self._step_count % c.grid_update_every == 0:
-            self.grids = self._refresh_grid(self.params_style, self.grids)
+            new_grids = self._refresh_grid(self.params_style, self.grids)
+            if c.prune_floaters:
+                new_grids = self._prune_grids(new_grids, self.grids)
+            self.grids = new_grids
 
     def train(self, max_steps: int | None = None):
         from avatarcraft_tpu.cameras import style_360_path

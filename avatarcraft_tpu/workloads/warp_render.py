@@ -191,6 +191,7 @@ def make_warp_frame_renderer_fast(
     n_probes: int = 128,
     sample_budget_per_ray: int = 12,
     grid_resolution: int = 129,
+    sample_budget: int | None = None,
 ):
     """Occupancy fast path for animation: per frame, the POSED mesh is
     voxelized into a density grid (ops.occupancy.voxelize_verts — the grid
@@ -211,7 +212,11 @@ def make_warp_frame_renderer_fast(
         warp_fn = make_warp_fn(warp_data, settings.geo_threshold)
         cfg = FastRenderConfig(
             n_probes=n_probes, k_samples=k_samples, bound=settings.bound,
-            sample_budget=chunk * sample_budget_per_ray,
+            # absolute per-chunk budget when given (derive it honestly with
+            # count_fast_samples over the pose sequence, zero-clip: bench.py
+            # warp path), else the conservative per-ray cap
+            sample_budget=(sample_budget if sample_budget is not None
+                           else chunk * sample_budget_per_ray),
         )
 
         def body(args):

@@ -150,9 +150,40 @@ def main(path: str = "fast"):
         frames = [
             WarpData.create(world_verts[i], model.faces, Ts[i]) for i in range(4)
         ]
-        render_frame = make_warp_frame_renderer_fast(fcfg, WarpRenderSettings(), 1.0)
         ro, rd = pose2rays(
             H, W, pose_spherical(30.0, -5.0, CANONICAL_CAMERA_DIST_VAL)
+        )
+        # honest per-chunk sample budget, derived from the pose sequence
+        # itself (same zero-clip discipline as the canonical path): worst
+        # probe-selected count over every chunk of every frame, +2%
+        from avatarcraft_tpu.models.instant_nsr import count_fast_samples
+        from avatarcraft_tpu.ops.occupancy import voxelize_verts
+
+        wset = WarpRenderSettings()
+        chunk = min(wset.chunk, H * W)
+        probe_cfg = FastRenderConfig(
+            n_probes=128, k_samples=32, bound=wset.bound
+        )
+        w_counter = jax.jit(
+            lambda o, d, v: count_fast_samples(
+                o, d, probe_cfg, voxelize_verts(v, wset.bound, 129)
+            )
+        )
+
+        def warp_worst_count():
+            return max(
+                int(w_counter(ro[i : i + chunk], rd[i : i + chunk], fr.verts))
+                for fr in frames
+                for i in range(0, H * W - chunk + 1, chunk)
+            )
+
+        worst = warp_worst_count()
+        budget = int(worst * 1.02)
+        print(f"[bench] warp derived budget: {budget}/chunk (worst probe "
+              f"count {worst} over {len(frames)} frames x {H * W // chunk} "
+              f"chunks; conservative cap was {chunk * 12})", file=sys.stderr)
+        render_frame = make_warp_frame_renderer_fast(
+            fcfg, wset, 1.0, sample_budget=budget
         )
         # one frame per call (distinct posed bodies defeat relay memoization);
         # conservative by the ~30 ms relay round-trip, like parity
@@ -245,6 +276,17 @@ def main(path: str = "fast"):
         _ = float(render(*args(g)))
         ts.append(time.perf_counter() - t0)
     dt = min(ts) / n_frames
+
+    if path == "warp":
+        # zero-clip: re-count after timing (pure function of frames/rays —
+        # the frames are fixed, this asserts the timed renders never dropped
+        # probe-selected samples to compaction)
+        worst_timed = warp_worst_count()
+        assert worst_timed <= budget, (
+            f"CLIPPED: warp frame selected {worst_timed} > budget {budget}"
+        )
+        print(f"[bench] warp zero-clip check OK: {worst_timed} <= {budget}",
+              file=sys.stderr)
 
     if path == "fast" and use_artifact:
         # zero-clip check (VERDICT r3 Next #1a): every timed frame's
