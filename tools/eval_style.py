@@ -173,10 +173,6 @@ def main(argv=None):
     )
     normal_mode = artifact_normal_mode(bare_ckpt) or "fd4"
     R = opt.res
-    fast_cfg = FastRenderConfig(
-        n_probes=192, k_samples=32, bound=NSR_BOUND,
-        sample_budget=R * R * 5, normal_mode=normal_mode,
-    )
     s_idx = STYLES.index(opt.style)
 
     # fixed holdout angles (no noise aug -> never in the training distribution)
@@ -184,6 +180,27 @@ def main(argv=None):
         np.zeros(3), np.array([0.0, 1.0, 0.0]), CANONICAL_CAMERA_DIST_VAL,
         opt.views,
     )
+
+    # honest zero-clip budget over the eval views and BOTH grids (SDS
+    # inflates occupancy; a fixed cap could silently zero trailing rays)
+    from avatarcraft_tpu.models.instant_nsr import count_fast_samples
+
+    probe_cfg = FastRenderConfig(n_probes=192, k_samples=32, bound=NSR_BOUND)
+    _counter = jax.jit(
+        lambda ro, rd, g: count_fast_samples(ro, rd, probe_cfg, g)
+    )
+    worst = max(
+        int(_counter(*pose2rays(R, R, pose), g))
+        for pose in poses
+        for g in (grid_bare, grid_eval)
+    )
+    fast_cfg = FastRenderConfig(
+        n_probes=192, k_samples=32, bound=NSR_BOUND,
+        sample_budget=int(worst * 1.02), normal_mode=normal_mode,
+    )
+    print(f"[eval_style] derived budget {fast_cfg.sample_budget} "
+          f"(worst probe count {worst} over {len(poses)} views x 2 grids)",
+          file=sys.stderr)
 
     def render(params, fcfg, grid, ro, rd):
         out = render_rays_fast(params, ro, rd, fcfg, fast_cfg, grid, 1.0)
