@@ -37,6 +37,9 @@ def main(argv=None):
     ap.add_argument("--hw", default=256, type=int, help="train render size (smoke: 32)")
     ap.add_argument("--n_cap", default=100, type=int)
     ap.add_argument("--platform", default="default", choices=["cpu", "default"])
+    ap.add_argument("--log_every", default=25, type=int,
+                    help="per-step liveness log cadence (first 5 steps always "
+                         "logged; the TPU relay can stall silently mid-run)")
     opt = ap.parse_args(argv)
 
     import jax
@@ -79,10 +82,31 @@ def main(argv=None):
     stacked = stack_params(
         [jax.tree_util.tree_map(lambda x: x.copy(), params_gt) for _ in prompts]
     )
+    print("[multi] building trainer (vmapped grid init + text embeds)...",
+          file=sys.stderr, flush=True)
+    t_init = time.perf_counter()
     trainer = MultiPromptTrainer(
         cfg, fcfg, guidance, prompts, stacked, params_gt,
         fast_cfg=FastRenderConfig(n_probes=192, k_samples=32, bound=NSR_BOUND),
     )
+    print(f"[multi] trainer ready in {time.perf_counter() - t_init:.0f}s",
+          file=sys.stderr, flush=True)
+
+    # per-step liveness logging via a wrapped train_view
+    _orig_train_view = trainer.train_view
+    _step_t = {"n": 0, "t": time.perf_counter()}
+
+    def _logged_train_view(pose, epoch):
+        _orig_train_view(pose, epoch)
+        _step_t["n"] += 1
+        n = _step_t["n"]
+        if n <= 5 or (opt.log_every and n % opt.log_every == 0):
+            now = time.perf_counter()
+            print(f"[multi] step {n} (+{now - _step_t['t']:.1f}s)",
+                  file=sys.stderr, flush=True)
+            _step_t["t"] = now
+
+    trainer.train_view = _logged_train_view
 
     os.makedirs(opt.out, exist_ok=True)
 
