@@ -13,9 +13,11 @@ built the guidance's training targets (de-circularization, VERDICT r3 #9):
 3. **txt2img hue-distribution match** (independent target construction):
    circular earth-mover distance between the render's foreground hue
    histogram and the hue histogram of the GUIDANCE'S OWN txt2img samples
-   for the style prompt — "did SDS pull the field toward what the guidance
-   actually generates", with the target re-fit from samples rather than
-   from apply_style. Enabled with --guidance.
+   for the style prompt, plus the chroma-centroid ANGLE to those samples
+   (scale-invariant; defined even when the bare render's histogram is
+   empty) — "did SDS pull the field toward what the guidance actually
+   generates", with the target re-fit from samples rather than from
+   apply_style. Enabled with --guidance.
 
 A successful stylize run drives the distances (1) and (3) far below the
 bare field's numbers while keeping the silhouette (opacity loss) intact.
@@ -61,17 +63,38 @@ def rgb_to_hsv(rgb):
     return h, s, mx
 
 
+HUE_WEIGHT_FLOOR = 0.05
+
+
 def hue_stats(rgb, mask=None):
     """Saturation-weighted hue histogram + circular hue mean + mean sat over
     ``mask`` (or all pixels). Gray/white/black pixels carry ~zero weight, so
-    the statistic reads the styled foreground, not the background."""
+    the statistic reads the styled foreground, not the background.
+
+    Pixels whose chroma weight (s*v) falls below ``HUE_WEIGHT_FLOOR`` are
+    excluded outright: the hue of a near-gray pixel is numerical noise (the
+    hue formula divides by chroma), and because ties resolve toward h=0
+    (red), an unstyled gray avatar would otherwise register a spurious
+    red-concentrated histogram — which accidentally *scores well* against
+    warm-hued style targets and corrupts the bare-vs-styled comparison."""
     import numpy as np
 
     h, s, v = rgb_to_hsv(rgb)
     if mask is not None:
         h, s, v = h[mask], s[mask], v[mask]
-    w = (s * v).ravel()
+    w_raw = (s * v).ravel()
+    w = np.where(w_raw < HUE_WEIGHT_FLOOR, 0.0, w_raw)
     h = h.ravel()
+    # chroma vector: per-pixel mean of w*(cos 2πh, sin 2πh) — a chromaticity
+    # centroid (Lab-a/b-like). No floor needed: gray pixels contribute ~0
+    # naturally (w multiplies, nothing divides by chroma), so it is defined
+    # and smooth for ANY image, including fully achromatic ones (→ origin).
+    ang_all = 2.0 * np.pi * h
+    chroma_vec = (
+        [float((np.cos(ang_all) * w_raw).mean()),
+         float((np.sin(ang_all) * w_raw).mean())]
+        if h.size else [0.0, 0.0]
+    )
     hist = np.histogram(h, bins=N_HUE_BINS, range=(0.0, 1.0), weights=w)[0]
     tot = hist.sum()
     hist = hist / tot if tot > 0 else hist
@@ -86,17 +109,55 @@ def hue_stats(rgb, mask=None):
         "hue_hist": [round(float(x), 4) for x in hist],
         "mean_hue": round(mean_hue, 4),
         "mean_sat": round(float(s.mean()), 4) if h.size else 0.0,
+        "chroma_vec": [round(c, 5) for c in chroma_vec],
     }
 
 
 def circular_emd(p, q):
     """1-D circular earth-mover distance between two histograms on the hue
     circle (bins as unit mass points): min over rotations reduces to the
-    median-centered cumulative-difference formula."""
+    median-centered cumulative-difference formula.
+
+    Returns None when either side has (near-)zero mass: an achromatic image
+    has NO hue distribution, and transporting to/from an empty histogram is
+    not a distance (for a gray avatar it would read ~0 against red targets
+    and ~0.3 against green ones, purely from bin position). Compare
+    achromatic renders with ``chroma_dist`` instead."""
     import numpy as np
 
-    d = np.cumsum(np.asarray(p) - np.asarray(q))
+    p, q = np.asarray(p), np.asarray(q)
+    if p.sum() < 1e-9 or q.sum() < 1e-9:
+        return None
+    d = np.cumsum(p - q)
     return float(np.abs(d - np.median(d)).sum() / len(d))
+
+
+def chroma_dist(a, b):
+    """Euclidean distance between two chromaticity centroids (``chroma_vec``
+    of hue_stats) — defined for any pair of images, achromatic included."""
+    import numpy as np
+
+    return float(np.hypot(a[0] - b[0], a[1] - b[1]))
+
+
+def chroma_angle_deg(a, b):
+    """Angle (degrees) between two chromaticity centroids — the
+    scale-invariant alignment of their dominant hues.
+
+    Centroid MAGNITUDE depends on how much of each image is chromatic
+    (txt2img samples are mostly background, so their centroid is short;
+    a foreground-masked render's is long), which makes Euclidean distance
+    between centroids read an aligned-but-longer vector as "far". Direction
+    is the comparable quantity. Returns None when either magnitude is below
+    1e-3 (an achromatic image has no hue direction)."""
+    import numpy as np
+
+    ma = np.hypot(a[0], a[1])
+    mb = np.hypot(b[0], b[1])
+    if ma < 1e-3 or mb < 1e-3:
+        return None
+    cos = (a[0] * b[0] + a[1] * b[1]) / (ma * mb)
+    return float(np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))))
 
 
 def guidance_txt2img_hue(guidance_dir, style, n=8, steps=25, seed=0):
@@ -269,11 +330,16 @@ def main(argv=None):
     # the palette map — pure render statistics)
     agg_e = np.mean([r["hue_eval"]["hue_hist"] for r in rows], axis=0)
     agg_b = np.mean([r["hue_bare"]["hue_hist"] for r in rows], axis=0)
+    cv_e = np.mean([r["hue_eval"]["chroma_vec"] for r in rows], axis=0)
+    cv_b = np.mean([r["hue_bare"]["chroma_vec"] for r in rows], axis=0)
     result["fg_sat_eval"] = float(np.mean([r["hue_eval"]["mean_sat"] for r in rows]))
     result["fg_sat_bare"] = float(np.mean([r["hue_bare"]["mean_sat"] for r in rows]))
     result["fg_mean_hue_eval"] = rows[0]["hue_eval"]["mean_hue"]
     result["fg_mean_hue_bare"] = rows[0]["hue_bare"]["mean_hue"]
+    # None when either render is achromatic (see circular_emd docstring);
+    # chroma_shift covers that case (gray → origin of the chroma plane)
     result["hue_hist_shift_emd"] = circular_emd(agg_e, agg_b)
+    result["chroma_shift"] = chroma_dist(cv_e, cv_b)
 
     # tier 3: distance to the guidance's own generated hue distribution
     if opt.guidance:
@@ -284,9 +350,25 @@ def main(argv=None):
         result["txt2img_hue_emd_eval"] = circular_emd(agg_e, g_stats["hue_hist"])
         result["txt2img_hue_emd_bare"] = circular_emd(agg_b, g_stats["hue_hist"])
         e = result["txt2img_hue_emd_eval"]
+        b = result["txt2img_hue_emd_bare"]
         result["txt2img_hue_improvement_factor"] = (
-            result["txt2img_hue_emd_bare"] / e if e > 0 else None
+            b / e if e and b else None
         )
+        # chroma-plane version, split into the two comparable quantities:
+        # DIRECTION (angle to the txt2img centroid — scale-invariant, the
+        # alignment measure) and MAGNITUDE (how chromatic each render is).
+        # The bare avatar has no direction (angle None) and ~zero magnitude;
+        # a successful stylize run shows a small eval angle + large eval
+        # magnitude. Raw Euclidean centroid distance is NOT reported: the
+        # txt2img centroid is short (samples are mostly background), so it
+        # penalizes an aligned-but-saturated render for its length.
+        cv_t = g_stats["chroma_vec"]
+        result["txt2img_chroma_vec"] = [round(float(c), 5) for c in cv_t]
+        result["txt2img_chroma_mag"] = float(np.hypot(cv_t[0], cv_t[1]))
+        result["chroma_mag_eval"] = float(np.hypot(cv_e[0], cv_e[1]))
+        result["chroma_mag_bare"] = float(np.hypot(cv_b[0], cv_b[1]))
+        result["txt2img_chroma_angle_eval_deg"] = chroma_angle_deg(cv_e, cv_t)
+        result["txt2img_chroma_angle_bare_deg"] = chroma_angle_deg(cv_b, cv_t)
     if opt.out:
         with open(opt.out, "w") as fp:
             json.dump(result, fp, indent=1)
