@@ -118,11 +118,19 @@ def main(argv=None):
     settings = WarpRenderSettings()
     if opt.sampler == "fast":
         from avatarcraft_tpu.workloads.warp_render import (
+            derive_warp_budget,
             make_warp_frame_renderer_fast,
         )
 
+        # honest per-chunk sample budget from the pose sequence itself
+        # (zero-clip discipline, same derivation as bench.py --path=warp):
+        # the old fixed 12-samples/ray cap silently clipped converged fields
+        budget = derive_warp_budget(world_verts, rays_o, rays_d, settings)
+        print(f"[render_warp] derived sample budget: {budget}/chunk "
+              f"(zero-clip over {n_frames} frames)")
         render_frame = make_warp_frame_renderer_fast(
-            fcfg, settings, 1.0 if opt.white_bkg else 0.0
+            fcfg, settings, 1.0 if opt.white_bkg else 0.0,
+            sample_budget=budget,
         )
     else:
         render_frame = make_warp_frame_renderer(

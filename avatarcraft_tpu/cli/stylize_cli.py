@@ -70,11 +70,6 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["fd7", "fd4", "analytic"],
                         help="normal estimator for the fast sampler (default "
                              "fd4; analytic = exact jvp gradient, fastest)")
-    parser.add_argument("--probe_pool", default=1, type=int,
-                        help="DEPRECATED, ignored: probes are always selected "
-                             "against the fine grid via a bit-packed table "
-                             "(round 4); pooled selection inflated the sample "
-                             "budget ~2.9x for a ~1.1x probe speedup")
     parser.add_argument("--sample_budget", default=-1, type=int,
                         help="fast sampler: global per-call sample compaction "
                              "budget. -1 = derive from the schedule's own pose "

@@ -5,6 +5,10 @@ from avatarcraft_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from avatarcraft_tpu.parallel.table_mp import (
+    make_table_mp_train_step,
+    shard_grid_rows,
+)
 
 __all__ = [
     "make_mesh",
@@ -12,4 +16,6 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "replicate",
+    "shard_grid_rows",
+    "make_table_mp_train_step",
 ]

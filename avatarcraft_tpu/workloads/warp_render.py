@@ -183,6 +183,49 @@ def make_warp_frame_renderer(
     return render_frame
 
 
+def derive_warp_budget(
+    world_verts: list,
+    rays_o,
+    rays_d,
+    settings: "WarpRenderSettings",
+    n_probes: int = 128,
+    k_samples: int = 32,
+    grid_resolution: int = 129,
+    safety: float = 1.02,
+) -> int:
+    """Honest per-chunk sample budget for the fast warp path: the worst
+    probe-selected sample count over every chunk of every frame, +2%
+    (zero-clip by construction — same derivation as ``bench.py --path=warp``;
+    the reference sizes packed buffers from measured counts the same way,
+    reference: raymarching/raymarching.py:21-114 mean_count)."""
+    import jax as _jax
+
+    from avatarcraft_tpu.models.instant_nsr import (
+        FastRenderConfig,
+        count_fast_samples,
+    )
+    from avatarcraft_tpu.ops.occupancy import voxelize_verts
+
+    n = rays_o.shape[0]
+    chunk = min(settings.chunk, n)
+    probe_cfg = FastRenderConfig(
+        n_probes=n_probes, k_samples=k_samples, bound=settings.bound
+    )
+    counter = _jax.jit(
+        lambda o, d, v: count_fast_samples(
+            o, d, probe_cfg, voxelize_verts(v, settings.bound, grid_resolution)
+        )
+    )
+    worst = 0
+    for verts in world_verts:
+        v = jnp.asarray(verts)
+        for i in range(0, n - chunk + 1, chunk):
+            worst = max(
+                worst, int(counter(rays_o[i : i + chunk], rays_d[i : i + chunk], v))
+            )
+    return int(worst * safety)
+
+
 def make_warp_frame_renderer_fast(
     fcfg: FieldConfig,
     settings: WarpRenderSettings,

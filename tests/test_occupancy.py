@@ -366,26 +366,6 @@ def test_prune_grid_floaters():
     np.testing.assert_array_equal(out2, far)
 
 
-def test_probe_pool_flag_is_inert():
-    """probe_pool is deprecated: selection is always fine-grid-exact, so the
-    flag must not change the render at all."""
-    import dataclasses
-
-    grid = update_density_grid(sphere_sdf_fn, init_density_grid(65), bound=1.6)
-    rays_o = jnp.asarray([[0.2, 0.1, -2.0], [0.0, 0.0, -2.0], [1.4, 1.4, -2.0]])
-    d = jnp.asarray([[-0.1, -0.05, 1.0], [0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
-    rays_d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    field = sphere_field(0.5, rgb=(0.9, 0.4, 0.2))
-    cfg0 = FastRenderConfig(n_probes=128, k_samples=24)
-    cfg1 = dataclasses.replace(cfg0, probe_pool=2)
-    out0 = render_rays_fast({}, rays_o, rays_d, SMALL_FIELD, cfg0, grid, 0.0, field=field)
-    out1 = render_rays_fast({}, rays_o, rays_d, SMALL_FIELD, cfg1, grid, 0.0, field=field)
-    np.testing.assert_array_equal(np.asarray(out1["rgb"]), np.asarray(out0["rgb"]))
-    np.testing.assert_array_equal(
-        np.asarray(out1["weight_sum"]), np.asarray(out0["weight_sum"])
-    )
-
-
 def test_count_fast_samples_bounds():
     """Budget-derivation counter: saturated grid counts N*K, empty grid 0."""
     import jax

@@ -38,6 +38,12 @@ def main(argv=None):
                     help="refresh cadence, scaled down so a short profile "
                          "crosses several refreshes (production: 200)")
     ap.add_argument("--no_prune", action="store_true")
+    ap.add_argument("--normal_mode", default="fd4",
+                    choices=["fd7", "fd4", "analytic"],
+                    help="normal estimator for the fast sampler; analytic "
+                         "(exact jvp gradient) is the cheapest and is a "
+                         "legitimate SDS-training lever (the style field "
+                         "retrains its color net against it)")
     ap.add_argument("--budget_per_ray", default=-1, type=int,
                     help="-1 = auto-derive from the live grid over the first "
                          "epoch's poses (the stylize CLI default)")
@@ -110,6 +116,7 @@ def main(argv=None):
         budget = opt.batch * opt.budget_per_ray
     fast_cfg = FastRenderConfig(
         n_probes=192, k_samples=32, bound=NSR_BOUND, sample_budget=budget,
+        normal_mode=opt.normal_mode,
     )
 
     trainer = StylizeTrainer(
@@ -145,7 +152,8 @@ def main(argv=None):
     result = {
         "config": {"batch": opt.batch, "prune_floaters": not opt.no_prune,
                    "budget": budget, "steps": opt.steps,
-                   "grid_update_every": opt.grid_update_every},
+                   "grid_update_every": opt.grid_update_every,
+                   "normal_mode": opt.normal_mode},
         "steps_per_sec": round(len(steady) / sum(steady), 3) if steady else None,
         "first_step_s": round(times[0], 1) if times else None,
         "occ_frac_start": round(occ0, 5),

@@ -30,13 +30,28 @@ def main(argv=None):
     ap.add_argument("--weights_path", default="artifacts/canonical/bare_smpl_tpu.pth.tar")
     ap.add_argument("--toy_weights", default="artifacts/toy_guidance")
     ap.add_argument("--prompts", default="lava,emerald,porcelain")
-    ap.add_argument("--steps", default=600, type=int)
+    ap.add_argument("--steps", default=600, type=int,
+                    help="coarse-stage SDS steps (stride subsample_scale)")
+    ap.add_argument("--fine_steps", default=0, type=int,
+                    help="fine-stage SDS steps (stride 1, full-res frames — "
+                         "the reference schedule's second stage)")
     ap.add_argument("--batch_size", default=4096, type=int)
     ap.add_argument("--out", default="style/toy/multi")
     ap.add_argument("--i_save", default=0, type=int, help="0 = final only")
     ap.add_argument("--hw", default=256, type=int, help="train render size (smoke: 32)")
     ap.add_argument("--n_cap", default=100, type=int)
     ap.add_argument("--platform", default="default", choices=["cpu", "default"])
+    ap.add_argument("--sample_budget", default=-1, type=int,
+                    help="-1 = auto-derive the compaction budget from the "
+                         "schedule's pose distribution vs the live grids "
+                         "(zero-clip, guarded at every grid refresh); 0 = "
+                         "off (every ray pays k_samples)")
+    ap.add_argument("--normal_mode", default="fd4",
+                    choices=["fd7", "fd4", "analytic"],
+                    help="fast-sampler normal estimator; analytic (exact jvp "
+                         "gradient) measured ~2.9x faster in the fine phase "
+                         "(docs/PERFORMANCE.md) — a legitimate SDS lever "
+                         "since the style field retrains its color net")
     ap.add_argument("--log_every", default=25, type=int,
                     help="per-step liveness log cadence (first 5 steps always "
                          "logged; the TPU relay can stall silently mid-run)")
@@ -76,8 +91,10 @@ def main(argv=None):
         batch_size=opt.batch_size,
         n_cap=opt.n_cap,
         sampler="fast",
-        coarse_epochs=10_000,  # capped by --steps
-        fine_epochs=0,
+        # epoch granularity: the coarse->fine stride switch happens at an
+        # epoch boundary, so point --steps at a multiple of --n_cap
+        coarse_epochs=-(-opt.steps // opt.n_cap),
+        fine_epochs=-(-opt.fine_steps // opt.n_cap),
     )
     stacked = stack_params(
         [jax.tree_util.tree_map(lambda x: x.copy(), params_gt) for _ in prompts]
@@ -87,55 +104,61 @@ def main(argv=None):
     t_init = time.perf_counter()
     trainer = MultiPromptTrainer(
         cfg, fcfg, guidance, prompts, stacked, params_gt,
-        fast_cfg=FastRenderConfig(n_probes=192, k_samples=32, bound=NSR_BOUND),
+        fast_cfg=FastRenderConfig(n_probes=192, k_samples=32, bound=NSR_BOUND,
+                                  normal_mode=opt.normal_mode),
     )
     print(f"[multi] trainer ready in {time.perf_counter() - t_init:.0f}s",
           file=sys.stderr, flush=True)
 
-    # per-step liveness logging via a wrapped train_view
-    _orig_train_view = trainer.train_view
-    _step_t = {"n": 0, "t": time.perf_counter()}
+    if opt.sample_budget < 0:
+        b = trainer.derive_budget()
+        print(f"[multi] auto-derived compaction budget {b}/chunk "
+              f"({b / opt.batch_size:.1f} samples/ray; clip-guarded at every "
+              f"grid refresh)", file=sys.stderr, flush=True)
+    elif opt.sample_budget > 0:
+        import dataclasses as _dc
 
-    def _logged_train_view(pose, epoch):
-        _orig_train_view(pose, epoch)
-        _step_t["n"] += 1
-        n = _step_t["n"]
-        if n <= 5 or (opt.log_every and n % opt.log_every == 0):
-            now = time.perf_counter()
-            print(f"[multi] step {n} (+{now - _step_t['t']:.1f}s)",
-                  file=sys.stderr, flush=True)
-            _step_t["t"] = now
-
-    trainer.train_view = _logged_train_view
+        trainer.fast_cfg = _dc.replace(
+            trainer.fast_cfg, sample_budget=opt.sample_budget
+        )
 
     os.makedirs(opt.out, exist_ok=True)
+    total = opt.steps + opt.fine_steps
 
-    t0, last = None, 0
-    done = 0
-    remaining = opt.steps
-    chunk_steps = opt.i_save or opt.steps
-    while remaining > 0:
-        n = min(chunk_steps, remaining)
-        trainer.train(max_steps=n)
-        done += n
-        remaining -= n
-        if t0 is None:
-            t0 = time.perf_counter()
-            last = done
-        else:
-            rate = (done - last) / (time.perf_counter() - t0)
-            print(f"[multi] step {done} ({rate:.2f} steps/s x {len(prompts)} prompts)",
-                  file=sys.stderr)
+    def _save(done, stacked_params, tag=None):
         for i, (prompt, p) in enumerate(
-            zip(prompts, unstack_params(trainer.params_style, len(prompts)))
+            zip(prompts, unstack_params(stacked_params, len(prompts)))
         ):
-            path = os.path.join(opt.out, f"multi_{prompt}_{done:04d}.pth.tar")
+            name = tag or f"{done:04d}"
+            path = os.path.join(opt.out, f"multi_{prompt}_{name}.pth.tar")
             save_params_with_config(jax.device_get(p), path, fcfg)
             np.save(os.path.join(opt.out, f"multi_{prompt}_grid.npy"),
                     np.asarray(jax.device_get(trainer.grids[i])))
-            print(f"[multi] saved {path}", file=sys.stderr)
+            print(f"[multi] saved {path}", file=sys.stderr, flush=True)
 
-    print(json.dumps({"prompts": prompts, "steps": done, "out": opt.out}))
+    # liveness logging + periodic crash-insurance saves through on_step (one
+    # train() call keeps the coarse->fine epoch schedule intact; restarting
+    # train() per save chunk would reset the epoch counter to coarse)
+    _step_t = {"t": time.perf_counter(), "t0": time.perf_counter()}
+
+    def _on_step(step, stacked_params):
+        if step <= 5 or (opt.log_every and step % opt.log_every == 0):
+            now = time.perf_counter()
+            rate = step / (now - _step_t["t0"])
+            phase = "coarse" if step <= opt.steps else "fine"
+            print(f"[multi] step {step}/{total} [{phase}] (+{now - _step_t['t']:.1f}s, "
+                  f"avg {rate:.3f} steps/s x {len(prompts)} prompts)",
+                  file=sys.stderr, flush=True)
+            _step_t["t"] = now
+        if opt.i_save and step % opt.i_save == 0 and step < total:
+            _save(step, stacked_params)
+
+    done = trainer.train(max_steps=total, on_step=_on_step)
+    _save(done, trainer.params_style, tag="final")
+    print(json.dumps({
+        "prompts": prompts, "steps": done, "coarse": opt.steps,
+        "fine": opt.fine_steps, "out": opt.out,
+    }))
 
 
 if __name__ == "__main__":
