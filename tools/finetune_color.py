@@ -28,7 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--state", required=True)
+    ap.add_argument("--state", default=None, help="orbax train-state dir")
+    ap.add_argument("--ckpt", default=None,
+                    help="alternative source: a baked reference-format "
+                         ".pth.tar (e.g. the committed artifact) + --grid_path")
+    ap.add_argument("--grid_path", default="artifacts/canonical/grid.npy")
     ap.add_argument("--out", required=True, help="output orbax state dir")
     ap.add_argument("--data_path", default="/root/reference/data/smpl_da_512")
     ap.add_argument("--holdout_views", default="13,62,95")
@@ -60,18 +64,35 @@ def main(argv=None):
     )
 
     ds = SMPLMultiviewDataset(opt.data_path)
-    fcfg = FieldConfig(encoder=opt.encoder)
-    params_like = jax.device_get(init_field_params(jax.random.PRNGKey(0), fcfg))
-    tx_like = make_optimizer(ReconstructConfig(), 1000)
-    like = {
-        "params": params_like,
-        "opt_state": jax.device_get(tx_like.init(params_like)),
-        "grid": np.zeros((129,) * 3, np.float32),
-        "step": 0,
-    }
-    state = load_checkpoint(opt.state, like)
-    params, grid = state["params"], jnp.asarray(state["grid"])
-    print(f"loaded step {state['step']} from {opt.state}", file=sys.stderr)
+    if opt.ckpt:
+        from avatarcraft_tpu.utils.checkpoint import load_params_with_config
+
+        params, fcfg = load_params_with_config(opt.ckpt)
+        params = jax.device_get(params)
+        grid = jnp.asarray(np.load(opt.grid_path))
+        tx_like = make_optimizer(ReconstructConfig(), 1000)
+        state = {
+            "params": params,
+            "opt_state": jax.device_get(tx_like.init(params)),
+            "step": 0,
+        }
+        print(f"loaded baked artifact {opt.ckpt} (encoder={fcfg.encoder})",
+              file=sys.stderr)
+    elif opt.state:
+        fcfg = FieldConfig(encoder=opt.encoder)
+        params_like = jax.device_get(init_field_params(jax.random.PRNGKey(0), fcfg))
+        tx_like = make_optimizer(ReconstructConfig(), 1000)
+        like = {
+            "params": params_like,
+            "opt_state": jax.device_get(tx_like.init(params_like)),
+            "grid": np.zeros((129,) * 3, np.float32),
+            "step": 0,
+        }
+        state = load_checkpoint(opt.state, like)
+        params, grid = state["params"], jnp.asarray(state["grid"])
+        print(f"loaded step {state['step']} from {opt.state}", file=sys.stderr)
+    else:
+        ap.error("one of --state / --ckpt is required")
 
     # train ONLY the color subtree. NOT optax.masked: masked applies the inner
     # transform to masked leaves but passes the RAW GRADIENT through as the
