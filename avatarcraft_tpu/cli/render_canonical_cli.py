@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="normal estimator (default: fd7 for parity, fd4 "
                              "for fast; analytic = exact jvp gradient, "
                              "fastest)")
+    parser.add_argument("--mesh_devices", default=0, type=int,
+                        help="shard each render chunk's ray axis over an "
+                             "N-device jax.sharding.Mesh (data parallel; "
+                             "params replicated, XLA inserts the collectives). "
+                             "0 = single-device. Validated vs replicated "
+                             "renders by __graft_entry__.dryrun_multichip")
     return parser
 
 
@@ -187,6 +193,22 @@ def main(argv=None):
                     chunk=opt.batch_size,
                 )
             )
+
+    if opt.mesh_devices and opt.mesh_devices > 1:
+        # data-parallel frame rendering: rays sharded over the mesh, params
+        # replicated; XLA partitions the render and gathers the frame
+        # (equivalence vs replicated pinned by dryrun_multichip sharded-frame)
+        from avatarcraft_tpu.parallel.mesh import data_sharding, make_mesh, replicate
+
+        mesh = make_mesh(opt.mesh_devices)
+        params = replicate(mesh, params)
+        _sh2 = data_sharding(mesh, 2)
+        _render_1dev = render
+
+        def render(p, ro, rd, _inner=_render_1dev, _sh=_sh2):
+            return _inner(p, jax.device_put(ro, _sh), jax.device_put(rd, _sh))
+
+        print(f"[render] ray axis sharded over {opt.mesh_devices} devices")
 
     center, up = np.zeros(3), np.array([0.0, 1.0, 0.0])
     body_poses, _ = default_360_path(center, up, CANONICAL_CAMERA_DIST_VAL, opt.trajectory_resolution)

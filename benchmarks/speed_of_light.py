@@ -50,8 +50,13 @@ def mlp_flops(fcfg) -> tuple[float, float]:
 
 
 def account_fast(fcfg, fast_cfg, n_rays: int, budget: int, normal_mode: str):
-    """FLOP + gather-row accounting for one canonical-fast frame."""
-    evals_per_sample = {"fd4": 4, "fd7": 7, "analytic": 3}[normal_mode]
+    """FLOP + gather-row accounting for one canonical-fast frame.
+
+    Per-sample cost by normal estimator: fd4/fd7 run the encoder+SDF at
+    4/7 stencil points; analytic is ONE encoder pass (the jvp reuses the
+    primal's gathered rows) with ~2x the SDF MLP FLOPs (primal+tangent)."""
+    enc_passes = {"fd4": 4, "fd7": 7, "analytic": 1}[normal_mode]
+    sdf_evals = {"fd4": 4, "fd7": 7, "analytic": 2}[normal_mode]
     sdf_f, col_f = mlp_flops(fcfg)
     n_samples = budget if budget else n_rays * fast_cfg.k_samples
 
@@ -59,18 +64,22 @@ def account_fast(fcfg, fast_cfg, n_rays: int, budget: int, normal_mode: str):
     # 512-2048^2 rows are the slow tier, grids (<=128^3 packed cells) fast
     g_grid = len(fcfg.pyramid.grid_resolutions)
     g_plane = 3 * len(fcfg.pyramid.plane_resolutions)
-    enc_points = n_samples * evals_per_sample
+    enc_points = n_samples * enc_passes
     rows_fast = enc_points * g_grid
     rows_slow = enc_points * g_plane
     # probe pass: bit-packed uint32 fine-grid table (~83k rows = fast tier)
     rows_fast += n_rays * fast_cfg.n_probes
 
-    flops = n_samples * (evals_per_sample * sdf_f + col_f)
+    flops = n_samples * (sdf_evals * sdf_f + col_f)
     return {
         "samples": n_samples,
         "flops": flops,
         "rows_fast": rows_fast,
         "rows_slow": rows_slow,
+        # NOT counted (VPU/infrastructure work with no measured ceiling):
+        # per-ray top_k over the probes, the cumsum+scatter compaction,
+        # NeuS compositing math, chunking overheads — the floor is
+        # gather + MXU only, so published utilization is a LOWER bound.
         "floor_ms": {
             "mxu(fp32 mlp)": flops / MXU_FLOPS_FP32 * 1e3,
             "gather_fast_tier": rows_fast / GATHER_FAST * 1e3,
