@@ -41,6 +41,12 @@ def main(argv=None):
     ap.add_argument("--hw", default=256, type=int, help="train render size (smoke: 32)")
     ap.add_argument("--n_cap", default=100, type=int)
     ap.add_argument("--platform", default="default", choices=["cpu", "default"])
+    ap.add_argument("--resume_step", default=0, type=int,
+                    help="resume from the i_save checkpoints at this step "
+                         "(multi_<prompt>_<step:04d>.pth.tar + grids in "
+                         "--out); the remaining schedule and save numbering "
+                         "continue from there. The TPU relay can stall "
+                         "silently mid-run — this makes restarts cheap")
     ap.add_argument("--sample_budget", default=-1, type=int,
                     help="-1 = auto-derive the compaction budget from the "
                          "schedule's pose distribution vs the live grids "
@@ -85,6 +91,9 @@ def main(argv=None):
     print(f"[multi] {len(prompts)} prompts {prompts}; field encoder={fcfg.encoder}",
           file=sys.stderr)
 
+    done0 = opt.resume_step
+    rem_coarse = max(0, opt.steps - done0)
+    rem_fine = opt.fine_steps - max(0, done0 - opt.steps)
     cfg = StylizeConfig(
         H=opt.hw,
         W=opt.hw,
@@ -93,12 +102,20 @@ def main(argv=None):
         sampler="fast",
         # epoch granularity: the coarse->fine stride switch happens at an
         # epoch boundary, so point --steps at a multiple of --n_cap
-        coarse_epochs=-(-opt.steps // opt.n_cap),
-        fine_epochs=-(-opt.fine_steps // opt.n_cap),
+        coarse_epochs=-(-rem_coarse // opt.n_cap),
+        fine_epochs=-(-rem_fine // opt.n_cap),
     )
-    stacked = stack_params(
-        [jax.tree_util.tree_map(lambda x: x.copy(), params_gt) for _ in prompts]
-    )
+    if done0:
+        srcs = [
+            os.path.join(opt.out, f"multi_{p}_{done0:04d}.pth.tar") for p in prompts
+        ]
+        stacked = stack_params([load_params_with_config(s)[0] for s in srcs])
+        print(f"[multi] resuming from step {done0} checkpoints in {opt.out}",
+              file=sys.stderr, flush=True)
+    else:
+        stacked = stack_params(
+            [jax.tree_util.tree_map(lambda x: x.copy(), params_gt) for _ in prompts]
+        )
     print("[multi] building trainer (vmapped grid init + text embeds)...",
           file=sys.stderr, flush=True)
     t_init = time.perf_counter()
@@ -123,7 +140,17 @@ def main(argv=None):
         )
 
     os.makedirs(opt.out, exist_ok=True)
-    total = opt.steps + opt.fine_steps
+    if done0:
+        # restore the saved (pruned) per-prompt grids; the trainer's fresh
+        # refresh lacks the temporal-coherence pruning seed
+        import jax.numpy as jnp
+
+        trainer.grids = jnp.stack([
+            jnp.asarray(np.load(os.path.join(opt.out, f"multi_{p}_grid.npy")))
+            for p in prompts
+        ])
+    total = rem_coarse + rem_fine
+    grand_total = opt.steps + opt.fine_steps
 
     def _save(done, stacked_params, tag=None):
         for i, (prompt, p) in enumerate(
@@ -142,22 +169,23 @@ def main(argv=None):
     _step_t = {"t": time.perf_counter(), "t0": time.perf_counter()}
 
     def _on_step(step, stacked_params):
-        if step <= 5 or (opt.log_every and step % opt.log_every == 0):
+        g = done0 + step
+        if step <= 5 or (opt.log_every and g % opt.log_every == 0):
             now = time.perf_counter()
             rate = step / (now - _step_t["t0"])
-            phase = "coarse" if step <= opt.steps else "fine"
-            print(f"[multi] step {step}/{total} [{phase}] (+{now - _step_t['t']:.1f}s, "
+            phase = "coarse" if g <= opt.steps else "fine"
+            print(f"[multi] step {g}/{grand_total} [{phase}] (+{now - _step_t['t']:.1f}s, "
                   f"avg {rate:.3f} steps/s x {len(prompts)} prompts)",
                   file=sys.stderr, flush=True)
             _step_t["t"] = now
-        if opt.i_save and step % opt.i_save == 0 and step < total:
-            _save(step, stacked_params)
+        if opt.i_save and g % opt.i_save == 0 and g < grand_total:
+            _save(g, stacked_params)
 
     done = trainer.train(max_steps=total, on_step=_on_step)
-    _save(done, trainer.params_style, tag="final")
+    _save(done0 + done, trainer.params_style, tag="final")
     print(json.dumps({
-        "prompts": prompts, "steps": done, "coarse": opt.steps,
-        "fine": opt.fine_steps, "out": opt.out,
+        "prompts": prompts, "steps": done0 + done, "coarse": opt.steps,
+        "fine": opt.fine_steps, "resumed_from": done0, "out": opt.out,
     }))
 
 
